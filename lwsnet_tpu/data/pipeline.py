@@ -1,0 +1,157 @@
+"""Host-sharded, thread-prefetched input pipeline.
+
+The reference uses Paddle's DataLoader with 2 worker processes
+(reference: train.py:58-63). Here the pipeline is a plain-Python design built
+for multi-host TPU training:
+
+* **Per-host sharding**: each JAX process reads the disjoint slice
+  `index[process_index::process_count]` of the (epoch-shuffled) example list,
+  so hosts never duplicate IO and the global batch is assembled by pjit from
+  per-host local batches.
+* **Static shapes**: training drops the trailing partial batch (a ragged
+  batch would retrigger XLA compilation); evaluation pads the final batch and
+  returns a per-example validity mask so metrics stay exact.
+* **Thread-pool decode + bounded prefetch queue**: PIL/PFM decode overlaps
+  with device compute; threads (not processes) are enough because decode
+  releases the GIL inside zlib/numpy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lwsnet_tpu.data.kitti2015 import StereoIndex
+from lwsnet_tpu.data import transforms as T
+
+
+@dataclass(frozen=True)
+class Batch:
+    """One host-local batch, NHWC float32."""
+
+    left: np.ndarray    # (B, H, W, 3) normalized
+    right: np.ndarray   # (B, H, W, 3) normalized
+    disparity: np.ndarray  # (B, H, W) float32; zeros where padded
+    valid: np.ndarray   # (B,) 1.0 for real examples, 0.0 for padding
+
+
+def _load_example(index: StereoIndex, i: int, training: bool,
+                  crop: Tuple[int, int], kitti: bool,
+                  rng: np.random.Generator,
+                  sceneflow_full_gt_crop: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    left = T.load_image(index.left[i])
+    right = T.load_image(index.right[i])
+    if index.disp:
+        disp = (T.load_disparity_kitti(index.disp[i]) if kitti
+                else T.load_disparity_sceneflow(index.disp[i]))
+    else:
+        disp = np.zeros(left.shape[:2], dtype=np.float32)
+
+    ch, cw = crop
+    if training:
+        left, right, disp = T.random_crop(left, right, disp, ch, cw, rng)
+    else:
+        left = T.bottom_right_crop(left, ch, cw)
+        right = T.bottom_right_crop(right, ch, cw)
+        if kitti:
+            # (reference: dataloader/dataloader.py:83)
+            disp = T.bottom_right_crop(disp, ch, cw)
+        # SceneFlow eval keeps full-size GT; the row offset is handled in the
+        # metric (reference: dataloader/dataloader.py:87, train.py:189).
+
+    return T.normalize(left), T.normalize(right), disp
+
+
+class StereoPipeline:
+    """Iterable over host-local batches for one split."""
+
+    def __init__(self, index: StereoIndex, batch_size: int,
+                 training: bool, crop: Tuple[int, int], kitti: bool,
+                 seed: int = 0, num_workers: int = 8, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        self.index = index
+        self.batch_size = batch_size
+        self.training = training
+        self.crop = crop
+        self.kitti = kitti
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.index)
+        order = np.arange(n)
+        if self.training:
+            # Identical shuffle on every host (same seed), then disjoint
+            # per-host slices — the standard JAX data-parallel recipe.
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        return order[self.process_index::self.process_count]
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_order(0))
+        if self.training:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        order = self._epoch_order(epoch)
+        if self.training:
+            order = order[: len(order) // self.batch_size * self.batch_size]
+        if len(order) == 0:
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def load_one(args):
+            j, i = args
+            rng = np.random.default_rng((self.seed, epoch, int(i), j))
+            return _load_example(self.index, int(i), self.training,
+                                 self.crop, self.kitti, rng)
+
+        def producer():
+            try:
+                for start in range(0, len(order), self.batch_size):
+                    if stop.is_set():
+                        return
+                    ids = order[start:start + self.batch_size]
+                    examples = list(pool.map(load_one, enumerate(ids)))
+                    ls = [e[0] for e in examples]
+                    rs = [e[1] for e in examples]
+                    ds = [e[2] for e in examples]
+                    valid = np.ones(len(ids), dtype=np.float32)
+                    # Pad ragged eval batches to the static batch size.
+                    while len(ls) < self.batch_size:
+                        ls.append(np.zeros_like(ls[0]))
+                        rs.append(np.zeros_like(rs[0]))
+                        ds.append(np.zeros_like(ds[0]))
+                        valid = np.append(valid, 0.0).astype(np.float32)
+                    out_q.put(Batch(np.stack(ls), np.stack(rs),
+                                    np.stack(ds), valid))
+                out_q.put(None)
+            except BaseException as e:  # surface decode errors to the consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

@@ -1,0 +1,68 @@
+"""Host-side decode + augmentation transforms (numpy, NHWC).
+
+Equivalents of the reference's per-item pipeline
+(reference: dataloader/dataloader.py:46-92): decode, /255, ImageNet
+normalization, random 256x512 crop for training, deterministic bottom-right
+crop for eval. Outputs are NHWC float32 (TPU conv layout) rather than the
+reference's CHW.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from lwsnet_tpu.data.pfm import read_pfm
+
+# (reference: dataloader/dataloader.py:10-11)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an RGB image to HWC float32 in [0, 1]
+    (reference: dataloader/dataloader.py:18-19, 68)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def load_disparity_kitti(path: str) -> np.ndarray:
+    """KITTI disparity PNG: uint16 / 256 (reference: dataloader/dataloader.py:54-56).
+    Zero means no ground truth."""
+    with Image.open(path) as im:
+        return np.asarray(im, dtype=np.float32) / 256.0
+
+
+def load_disparity_sceneflow(path: str) -> np.ndarray:
+    """SceneFlow disparity PFM (reference: dataloader/dataloader.py:57-59)."""
+    data, _ = read_pfm(path)
+    return np.ascontiguousarray(data, dtype=np.float32)
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """ImageNet-normalize an HWC [0,1] image (reference: dataloader/dataloader.py:42-43)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def random_crop(left: np.ndarray, right: np.ndarray, disp: np.ndarray,
+                height: int, width: int,
+                rng: np.random.Generator) -> Tuple[np.ndarray, ...]:
+    """Random aligned crop of the pair + GT
+    (reference: dataloader/dataloader.py:61-70)."""
+    h, w = left.shape[:2]
+    y = int(rng.integers(0, h - height + 1))
+    x = int(rng.integers(0, w - width + 1))
+    return (left[y:y + height, x:x + width],
+            right[y:y + height, x:x + width],
+            disp[y:y + height, x:x + width])
+
+
+def bottom_right_crop(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Deterministic eval crop anchored bottom-right
+    (reference: dataloader/dataloader.py:81-83, inference.py:99-100)."""
+    h, w = img.shape[:2]
+    if h < height or w < width:
+        raise ValueError(f"image {h}x{w} smaller than crop {height}x{width}")
+    return img[h - height:h, w - width:w]
