@@ -57,8 +57,10 @@ def _load_example(index: StereoIndex, i: int, training: bool,
     if training:
         left, right, disp = T.random_crop(left, right, disp, ch, cw, rng)
     else:
-        left = T.bottom_right_crop(left, ch, cw)
-        right = T.bottom_right_crop(right, ch, cw)
+        # SceneFlow eval crops 544 rows from 540-row images; the top rows are
+        # zero-padded (reference: dataloader/dataloader.py:85 via PIL).
+        left = T.bottom_right_crop(left, ch, cw, pad_if_short=not kitti)
+        right = T.bottom_right_crop(right, ch, cw, pad_if_short=not kitti)
         if kitti:
             # (reference: dataloader/dataloader.py:83)
             disp = T.bottom_right_crop(disp, ch, cw)

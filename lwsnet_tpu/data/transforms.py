@@ -59,10 +59,22 @@ def random_crop(left: np.ndarray, right: np.ndarray, disp: np.ndarray,
             disp[y:y + height, x:x + width])
 
 
-def bottom_right_crop(img: np.ndarray, height: int, width: int) -> np.ndarray:
+def bottom_right_crop(img: np.ndarray, height: int, width: int,
+                      pad_if_short: bool = False) -> np.ndarray:
     """Deterministic eval crop anchored bottom-right
-    (reference: dataloader/dataloader.py:81-83, inference.py:99-100)."""
+    (reference: dataloader/dataloader.py:81-83, inference.py:99-100).
+
+    pad_if_short=True zero-pads the top/left when the image is smaller than
+    the crop — the behavior the reference gets implicitly from PIL's
+    out-of-bounds crop for 540-row SceneFlow images cropped to 544
+    (reference: dataloader/dataloader.py:85)."""
     h, w = img.shape[:2]
     if h < height or w < width:
-        raise ValueError(f"image {h}x{w} smaller than crop {height}x{width}")
+        if not pad_if_short:
+            raise ValueError(
+                f"image {h}x{w} smaller than crop {height}x{width}")
+        pad = [(max(0, height - h), 0), (max(0, width - w), 0)]
+        pad += [(0, 0)] * (img.ndim - 2)
+        img = np.pad(img, pad)
+        h, w = img.shape[:2]
     return img[h - height:h, w - width:w]

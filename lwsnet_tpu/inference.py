@@ -1,0 +1,92 @@
+"""Anytime inference engine: per-stage jitted programs + image IO.
+
+The user-facing equivalent of the reference's inference driver
+(reference: inference.py:78-138), as a library API. Each `num_stages` value
+gets its own compiled program (stage-k inference really does skip stages
+k+1.., unlike the reference which always runs all four), and programs are
+cached per input shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from lwsnet_tpu.config import ModelConfig
+from lwsnet_tpu.data import transforms as T
+from lwsnet_tpu.models.lwsnet import LWSNet
+from lwsnet_tpu.utils.colormap import colorize_disparity
+
+
+class InferenceEngine:
+    """Wraps a model + params with per-(shape, stages) compiled programs."""
+
+    def __init__(self, cfg: ModelConfig, variables: dict,
+                 eval_height: int = 368, eval_width: int = 1232):
+        self.cfg = cfg
+        self.model = LWSNet(cfg)
+        self.variables = variables
+        self.eval_height = eval_height
+        self.eval_width = eval_width
+        self._programs: Dict[Tuple, "jax.stages.Compiled"] = {}
+
+    def _program(self, shape: Tuple[int, ...], num_stages: int):
+        key = (shape, num_stages)
+        if key not in self._programs:
+            fn = jax.jit(
+                lambda v, l, r: self.model.apply(
+                    v, l, r, train=False, num_stages=num_stages))
+            self._programs[key] = fn
+        return self._programs[key]
+
+    def preprocess(self, left: np.ndarray, right: np.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Bottom-right crop to the eval window + ImageNet normalize
+        (reference: inference.py:93-103)."""
+        th, tw = self.eval_height, self.eval_width
+        left = T.normalize(T.bottom_right_crop(left, th, tw))
+        right = T.normalize(T.bottom_right_crop(right, th, tw))
+        return (jnp.asarray(left[None]), jnp.asarray(right[None]))
+
+    def __call__(self, left: jnp.ndarray, right: jnp.ndarray,
+                 num_stages: Optional[int] = None) -> List[np.ndarray]:
+        """Run the cascade. left/right: (B, H, W, 3) normalized NHWC."""
+        stages = num_stages if num_stages is not None else self.cfg.num_stages
+        fn = self._program(tuple(left.shape), stages)
+        outs = fn(self.variables, left, right)
+        return [np.asarray(o[..., 0]) for o in outs]
+
+    def infer_files(self, left_path: str, right_path: str,
+                    num_stages: Optional[int] = None
+                    ) -> Tuple[List[np.ndarray], float]:
+        """Load a pair from disk, run, return (per-stage disparities, sec).
+        Timing covers the device forward only, like the reference
+        (reference: inference.py:107-111)."""
+        left = T.load_image(left_path)
+        right = T.load_image(right_path)
+        l, r = self.preprocess(left, right)
+        stages = num_stages if num_stages is not None else self.cfg.num_stages
+        fn = self._program(tuple(l.shape), stages)
+        fn(self.variables, l, r)  # warm the program cache
+        t0 = time.perf_counter()
+        outs = jax.block_until_ready(fn(self.variables, l, r))
+        dt = time.perf_counter() - t0
+        return [np.asarray(o[0, :, :, 0]) for o in outs], dt
+
+
+def save_disparity_png(path: str, disp: np.ndarray,
+                       colormap: bool = True) -> None:
+    """Write a disparity map as a JET-colormapped PNG
+    (reference: inference.py:113-122) or raw 16-bit (KITTI submission
+    format: uint16 = disp * 256)."""
+    if colormap:
+        Image.fromarray(colorize_disparity(disp)).save(path)
+    else:
+        Image.fromarray((np.clip(disp, 0, 255) * 256.0).astype(np.uint16)
+                        ).save(path)

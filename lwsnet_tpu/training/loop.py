@@ -1,0 +1,173 @@
+"""Epoch-level train/eval orchestration.
+
+The host-side loop shared by the SceneFlow-pretrain and KITTI-finetune entry
+points (reference: train.py:107-199, finetune.py:122-210): per-epoch train
+pass, per-epoch validation, best-only checkpointing with
+{epoch, lr, error, time_cost} metadata, resume. All device work happens in
+the jitted steps from `lwsnet_tpu.training.steps`; this file only moves
+batches, accumulates meters, and logs.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from lwsnet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from lwsnet_tpu.data.pipeline import StereoPipeline
+from lwsnet_tpu.models.lwsnet import LWSNet
+from lwsnet_tpu.parallel import mesh as mesh_lib
+from lwsnet_tpu.training import steps as steps_lib
+from lwsnet_tpu.training.checkpoint import CheckpointManager
+from lwsnet_tpu.training.metrics import AverageMeter
+from lwsnet_tpu.training.state import TrainState, create_train_state
+
+
+@dataclass
+class TrainerConfig:
+    model: ModelConfig
+    train: TrainConfig
+    eval_metric: str = "d1"  # "d1" (KITTI) or "epe" (SceneFlow)
+    sceneflow_row_offset: int = 0  # 4 for SceneFlow eval (reference: train.py:189)
+
+
+class Trainer:
+    def __init__(self, tcfg: TrainerConfig, train_pipe: StereoPipeline,
+                 eval_pipe: StereoPipeline, logger,
+                 mesh_cfg: MeshConfig = MeshConfig()):
+        self.tcfg = tcfg
+        self.train_pipe = train_pipe
+        self.eval_pipe = eval_pipe
+        self.log = logger
+        self.model = LWSNet(tcfg.model)
+        self.mesh = mesh_lib.make_mesh(mesh_cfg)
+        self.mesh_cfg = mesh_cfg
+
+        spe = max(1, train_pipe.batches_per_epoch() * max(1, jax.process_count()))
+        self.steps_per_epoch = spe
+        self.train_step = steps_lib.make_train_step(
+            self.model, tcfg.train, spe)
+        self.eval_step = steps_lib.make_eval_step(
+            self.model, max_disp=tcfg.model.max_disp,
+            sceneflow_row_offset=tcfg.sceneflow_row_offset)
+        self.ckpt = CheckpointManager(tcfg.train.save_path)
+
+        self.state: Optional[TrainState] = None
+        self.best_error = math.inf
+        self.start_epoch = 0
+        self.start_time = time.time()
+
+    # -- state management ---------------------------------------------------
+
+    def init_state(self, seed: int = 0):
+        h, w = self.train_pipe.crop
+        self.state = create_train_state(
+            self.model, self.tcfg.train, jax.random.PRNGKey(seed), (h, w),
+            self.steps_per_epoch)
+        self.state = mesh_lib.replicate_state(self.mesh, self.state)
+        return self.state
+
+    def resume(self) -> bool:
+        """Restore best checkpoint + metadata (reference: train.py:82-105)."""
+        assert self.state is not None, "call init_state() first"
+        restored, meta = self.ckpt.restore(self.state)
+        if restored is None:
+            return False
+        self.state = mesh_lib.replicate_state(self.mesh, restored)
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_error = float(meta.get("error", math.inf))
+        self.start_time = time.time() - float(meta.get("time_cost", 0.0))
+        self.log.info(
+            "resumed: epoch=%d error=%.4f time_cost=%.2fh",
+            self.start_epoch, self.best_error,
+            float(meta.get("time_cost", 0.0)) / 3600)
+        return True
+
+    def load_pretrained(self, path: str) -> bool:
+        """Bootstrap params from a pretrain checkpoint
+        (reference: finetune.py:87-91)."""
+        assert self.state is not None
+        loaded = CheckpointManager(path).restore_params_only(self.state)
+        if loaded is None:
+            return False
+        self.state = mesh_lib.replicate_state(self.mesh, loaded)
+        self.log.info("loaded pretrained params from %s", path)
+        return True
+
+    # -- epochs -------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> None:
+        cfg = self.tcfg.train
+        n_stages = self.tcfg.model.num_stages
+        meters = [AverageMeter() for _ in range(n_stages)]
+        n_batches = self.train_pipe.batches_per_epoch()
+
+        for i, batch in enumerate(self.train_pipe.epoch(epoch)):
+            sharded = mesh_lib.shard_batch(
+                self.mesh,
+                {"l": batch.left, "r": batch.right, "g": batch.disparity},
+                self.mesh_cfg)
+            self.state, aux = self.train_step(
+                self.state, sharded["l"], sharded["r"], sharded["g"])
+            if i % cfg.log_every == 0:
+                stage_losses = np.asarray(aux["stage_losses"])
+                for m, v in zip(meters, stage_losses):
+                    m.update(float(v))
+                msg = "\t".join(
+                    f"Stage {s} = {m.val:.2f}({m.avg:.2f})"
+                    for s, m in enumerate(meters))
+                self.log.info("Train Epoch%d [%d/%d]\t%s",
+                              epoch, i, n_batches, msg)
+
+        self.log.info(
+            "Average train loss = %s",
+            "\t".join(f"Stage {s} = {m.avg:.2f}" for s, m in enumerate(meters)))
+
+    def evaluate(self) -> float:
+        """Run validation; returns the stage-(last) headline metric."""
+        n_stages = self.tcfg.model.num_stages
+        sums = np.zeros((2, n_stages))
+        weight = 0.0
+        for batch in self.eval_pipe.epoch(0):
+            sharded = mesh_lib.shard_batch(
+                self.mesh,
+                {"l": batch.left, "r": batch.right, "g": batch.disparity,
+                 "v": batch.valid},
+                self.mesh_cfg)
+            out = self.eval_step(self.state, sharded["l"], sharded["r"],
+                                 sharded["g"], sharded["v"])
+            sums[0] += np.asarray(out["epe"])
+            sums[1] += np.asarray(out["d1"])
+            weight += float(out["weight"])
+        weight = max(weight, 1.0)
+        epes, d1s = sums[0] / weight, sums[1] / weight
+        self.log.info("Average test EPE = %s",
+                      ", ".join(f"Stage {s}={v:.2f}" for s, v in enumerate(epes)))
+        self.log.info("Average test 3-Pixel Error = %s",
+                      ", ".join(f"Stage {s}={v:.4f}" for s, v in enumerate(d1s)))
+        return float(d1s[-1] if self.tcfg.eval_metric == "d1" else epes[-1])
+
+    def fit(self, epochs: Optional[int] = None) -> float:
+        if self.state is None:
+            self.init_state(self.tcfg.train.seed)
+        epochs = epochs if epochs is not None else self.tcfg.train.epochs
+        error = self.best_error
+        for epoch in range(self.start_epoch, epochs):
+            self.train_epoch(epoch)
+            error = self.evaluate()
+            if error < self.best_error and jax.process_index() == 0:
+                self.best_error = error
+                self.ckpt.save(
+                    jax.device_get(self.state),
+                    {"epoch": epoch, "lr": self.tcfg.train.lr,
+                     "error": error,
+                     "time_cost": time.time() - self.start_time})
+                self.log.info("save model param success")
+        self.log.info("full training time = %.2f Hours",
+                      (time.time() - self.start_time) / 3600)
+        return error
