@@ -16,6 +16,10 @@ import argparse
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
+import sys
+
 import numpy as np
 
 GOLDEN_DIR = "/root/reference/reference"

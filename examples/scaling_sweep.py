@@ -1,0 +1,110 @@
+"""Data-parallel scaling sweep: step time / frames-per-second vs mesh size.
+
+Runs the full jitted training step over 1..N-device meshes with the global
+batch scaled proportionally (weak scaling) and reports DP efficiency
+(BASELINE.md: >=85% target at 2+ hosts).
+
+On real multi-chip hardware this measures actual ICI all-reduce scaling; on a
+single-chip or CPU host it runs on a virtual device mesh
+(--xla_force_host_platform_device_count) and validates the sharded program +
+gives the collective-overhead trend XLA compiles in.
+
+    python examples/scaling_sweep.py --devices 1 2 4 8 [--cpu] \
+        [--height 256 --width 512 --per-device-batch 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import os
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend with a virtual device mesh")
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--per-device-batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(args.devices)}")
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from lwsnet_tpu import LWSNet, MeshConfig, ModelConfig, TrainConfig
+    from lwsnet_tpu.parallel import mesh as mesh_lib
+    from lwsnet_tpu.training import create_train_state, make_train_step
+
+    avail = len(jax.devices())
+    sizes = [d for d in args.devices if d <= avail]
+    print(f"# devices available: {avail} ({jax.default_backend()}); "
+          f"sweeping {sizes}")
+
+    model_cfg = ModelConfig(
+        compute_dtype="float32" if args.cpu else "bfloat16")
+    model = LWSNet(model_cfg)
+    h, w = args.height, args.width
+    results = []
+
+    for n in sizes:
+        mcfg = MeshConfig()
+        mesh = mesh_lib.make_mesh(mcfg, devices=jax.devices()[:n])
+        batch = n * args.per_device_batch
+        tcfg = TrainConfig(train_batch_size=batch, mask_max_disp=192.0)
+        state = create_train_state(model, tcfg, jax.random.PRNGKey(0), (h, w),
+                                   steps_per_epoch=100)
+        state = mesh_lib.replicate_state(mesh, state)
+        step = make_train_step(model, tcfg, steps_per_epoch=100, donate=False)
+
+        rng = np.random.default_rng(0)
+        data = mesh_lib.shard_batch(mesh, {
+            "l": rng.standard_normal((batch, h, w, 3)).astype(np.float32),
+            "r": rng.standard_normal((batch, h, w, 3)).astype(np.float32),
+            "g": rng.uniform(1, 100, (batch, h, w)).astype(np.float32),
+        }, mcfg)
+
+        # Warmup (compile + first-run program load).
+        s2, aux = step(state, data["l"], data["r"], data["g"])
+        float(aux["loss"])
+        # Timed: chain state through iterations; loss fetch syncs.
+        t0 = time.perf_counter()
+        cur = s2
+        for _ in range(args.iters):
+            cur, aux = step(cur, data["l"], data["r"], data["g"])
+        float(aux["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        fps = batch / dt
+        results.append((n, dt, fps))
+        print(f"devices={n:2d} global_batch={batch:3d} "
+              f"step={dt * 1000:8.2f} ms  {fps:8.1f} frames/s")
+
+    if len(results) > 1:
+        base_n, base_dt, _ = results[0]
+        print("\n# weak-scaling efficiency vs smallest mesh:")
+        for n, dt, fps in results[1:]:
+            eff = (base_dt / dt) * 100.0  # ideal weak scaling: equal step time
+            print(f"devices={n:2d}: {eff:6.1f} %")
+
+    with open("scaling_sweep.json", "w") as f:
+        json.dump([{"devices": n, "step_ms": dt * 1000, "frames_per_s": fps}
+                   for n, dt, fps in results], f, indent=2)
+    print("wrote scaling_sweep.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 from PIL import Image
 
+from lwsnet_tpu.data import native
 from lwsnet_tpu.data.pfm import read_pfm
 
 # (reference: dataloader/dataloader.py:10-11)
@@ -23,7 +24,15 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def load_image(path: str) -> np.ndarray:
     """Decode an RGB image to HWC float32 in [0, 1]
-    (reference: dataloader/dataloader.py:18-19, 68)."""
+    (reference: dataloader/dataloader.py:18-19, 68). Uses the native C++
+    decoder (native/libstereoload.so) when built, PIL otherwise."""
+    if native.available() and path.lower().endswith(".png"):
+        try:
+            raw = native.decode_png(path)
+            if raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[2] >= 3:
+                return raw[..., :3].astype(np.float32) / 255.0
+        except ValueError:
+            pass  # unsupported subformat -> PIL fallback
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
 
@@ -31,6 +40,13 @@ def load_image(path: str) -> np.ndarray:
 def load_disparity_kitti(path: str) -> np.ndarray:
     """KITTI disparity PNG: uint16 / 256 (reference: dataloader/dataloader.py:54-56).
     Zero means no ground truth."""
+    if native.available():
+        try:
+            raw = native.decode_png(path)
+            if raw.dtype == np.uint16 and raw.ndim == 2:
+                return raw.astype(np.float32) / 256.0
+        except ValueError:
+            pass
     with Image.open(path) as im:
         return np.asarray(im, dtype=np.float32) / 256.0
 

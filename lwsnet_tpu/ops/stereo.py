@@ -102,9 +102,23 @@ def build_residual_volume(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
 
     cost[..., k] = sum_c |feat_l - warp(feat_r, disp - offset_k)| with
     offset_k = (k - max_disp + 1) * stride (reference: models/models.py:78-104).
-    The reference expands the batch to B*(2D-1) and runs one grid_sample; here
-    each offset reuses the same gather indices shifted by a constant, and XLA
-    fuses the per-offset warp+L1 without materializing feature copies.
+
+    TPU formulation ("gather = one-hot matmul"): per-pixel gathers are
+    pathological on TPU (the gather-based version of this routine measured
+    ~300 ms/frame, ~90% of the whole forward). Instead we build ONE bilinear
+    interpolation matrix A from the base position x - disp — two nonzeros per
+    row, constructed with an iota comparison on the VPU — over a zero-padded
+    W axis, and realize each hypothesis warp as A contracted with a
+    *statically shifted* copy of the padded right features:
+
+        warp(feat_r, disp - o)[x] = sum_w A[x, w] * feat_r_pad[w + o]
+
+    which puts all the irregular-access work on the MXU as 2D-1 dense
+    matmuls. Zero padding reproduces grid_sample's zeros/align_corners=True
+    OOB semantics exactly (pad width max_disp covers every offset).
+
+    Gradients w.r.t. `disp` flow through A's fractional weights, matching
+    grid_sample's grid gradient.
 
     Args:
       feat_l, feat_r: (B, H, W, C) features at this scale.
@@ -114,11 +128,31 @@ def build_residual_volume(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
     """
     if disp.ndim == 4:
         disp = disp[..., 0]
+    B, H, W, C = feat_r.shape
+    P = max_disp * stride  # pad covers the largest |offset| + bilinear tap
+    Wp = W + 2 * P
+    dtype = feat_r.dtype
+
+    # Interpolation matrix for the base position x - disp, in padded coords.
+    x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    base = x - disp.astype(jnp.float32) + P  # (B, H, W)
+    i0 = jnp.floor(base)
+    frac = (base - i0).astype(dtype)
+    w_iota = jnp.arange(Wp, dtype=jnp.float32)  # (Wp,)
+    hit0 = (w_iota[None, None, None, :] == i0[..., None])
+    hit1 = (w_iota[None, None, None, :] == (i0[..., None] + 1.0))
+    A = (hit0.astype(dtype) * (1.0 - frac)[..., None]
+         + hit1.astype(dtype) * frac[..., None])  # (B, H, W, Wp)
+
+    pad = jnp.pad(feat_r, ((0, 0), (0, 0), (P, P), (0, 0)))
     offsets = [(k - max_disp + 1) * stride for k in range(2 * max_disp - 1)]
-    slices = [
-        jnp.sum(jnp.abs(feat_l - horizontal_warp(feat_r, disp - o)), axis=-1)
-        for o in offsets
-    ]
+    slices = []
+    for o in offsets:
+        # shifted[w] == pad[w + o]; the wrapped-around entries of roll always
+        # land in a zero-pad region (|o| <= P), so they contribute nothing.
+        shifted = jnp.roll(pad, -o, axis=2)
+        warped = jnp.einsum("bhxw,bhwc->bhxc", A, shifted)
+        slices.append(jnp.sum(jnp.abs(feat_l - warped), axis=-1))
     return jnp.stack(slices, axis=-1)
 
 
