@@ -37,6 +37,11 @@ class ModelConfig:
     # Use the fused Pallas cost-volume kernels when True; the jnp path is the
     # correctness oracle and the fallback on CPU.
     use_pallas: bool = True
+    # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
+    # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
+    # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept
+    # as the correctness oracle. All three compute identical math.
+    conv3d_impl: str = "auto"
     # Number of cascade stages to run (1..4); 4 = full anytime pipeline.
     num_stages: int = 4
 

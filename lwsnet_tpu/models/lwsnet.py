@@ -81,14 +81,13 @@ class LWSNet(nn.Module):
                 cost = stereo.build_residual_volume(fl, fr, wflow, D)
 
             # 3D-CNN cost filtering with identity skip
-            # (reference: models/models.py:136-138). Volume -> NDHWC.
-            vol = jnp.transpose(cost, (0, 3, 1, 2))[..., None]
+            # (reference: models/models.py:136-138), directly on the
+            # (B, H, W, D) volume layout.
             filt = CostFilter3D(
                 cfg.layers_3d, cfg.channels_3d * cfg.growth_rate[scale],
-                dtype=dtype,
-            )(vol, train)
-            vol = filt + vol
-            cost = jnp.transpose(vol[..., 0], (0, 2, 3, 1))
+                impl=cfg.conv3d_impl, dtype=dtype,
+            )(cost, train)
+            cost = filt + cost
 
             # Soft-argmin regression, rescale to full-res disparity units,
             # bilinear upsample (reference: models/models.py:140-156).

@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lwsnet_tpu.models.blocks import PreConv, PreConvDW, kaiming
+from lwsnet_tpu.models.blocks import (PreConv, PreConvDW, conv3x3_shift_mm,
+                                      kaiming)
 
 
 class RefinementTower(nn.Module):
@@ -52,7 +53,8 @@ class RefinementHead(nn.Module):
         for k in reversed(range(4)):
             x = PreConvDW(self.features, dilation=2 ** k,
                           dtype=self.dtype)(x, train)
-        return nn.Conv(
-            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-            kernel_init=kaiming, dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
+        # 3x3 -> 1 channel: XLA's conv is pathological for 1 output channel at
+        # full res (0.91 ms vs 0.14 ms as 9 shifted matmuls on v5e).
+        k_out = self.param("out_kernel", kaiming, (3, 3, self.features, 1),
+                           jnp.float32)
+        return conv3x3_shift_mm(x, k_out.astype(self.dtype))

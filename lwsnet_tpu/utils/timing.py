@@ -37,13 +37,13 @@ def _make_looped(fn: Callable, n: int):
             eps = (i.astype(first.dtype) * jnp.asarray(1e-30, first.dtype))
             out = fn(x + eps, *args[1:])
             leaves = jax.tree.leaves(out)
-            # Accumulate only a thin slice: a full-output reduction would add
-            # ~1 ms of its own bandwidth per iteration and swamp small ops.
-            # (Monolithic ops like convs/matmuls still compute fully; pure
-            # elementwise chains could in principle be partially DCE'd — keep
-            # that in mind when timing elementwise-only functions.)
-            acc = acc + sum(
-                jnp.sum(l[..., :1].astype(jnp.float32)) for l in leaves)
+            # Reduce the FULL output: accumulating only a slice lets XLA
+            # dead-code-eliminate the unused output channels of convs and
+            # matmuls (observed: a 1x1 conv timed as 0 ms under a [..., :1]
+            # accumulator). The full reduction adds one read of the output
+            # (~bandwidth/2765 GB/s per iteration) — negligible at ms scale,
+            # a measurable floor for sub-50us ops.
+            acc = acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
             return x, acc
 
         _, acc = jax.lax.fori_loop(

@@ -101,3 +101,18 @@ def test_odd_input_dims_rejected(model_and_vars):
     bad = jnp.zeros((1, 30, 64, 3))
     with pytest.raises(AssertionError):
         model.apply(variables, bad, bad)
+
+
+def test_conv3d_impl_parity(model_and_vars):
+    """The folded / kdbatch 3D-filter formulations must match the xla3d
+    oracle on identical variables (single-layer parity is exact; end-to-end
+    deviations are softmax-amplified reorder rounding)."""
+    _, variables, left, right = model_and_vars
+    outs = {}
+    for impl in ("xla3d", "auto"):
+        m = LWSNet(ModelConfig(compute_dtype="float32", conv3d_impl=impl))
+        outs[impl] = m.apply(variables, left, right)
+    for a, b in zip(outs["xla3d"], outs["auto"]):
+        a, b = np.asarray(a), np.asarray(b)
+        span = a.max() - a.min() + 1.0
+        assert np.abs(a - b).mean() < 0.01 * span
