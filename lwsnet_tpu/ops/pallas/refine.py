@@ -1,0 +1,677 @@
+"""Fused Pallas kernels for the full-resolution refinement stage.
+
+Why these exist: stage 4 (reference: models/submodules.py:282-326) is a chain
+of BN + ReLU + depthwise-dilated-3x3 + pointwise-1x1 layers over
+(368, 1232, 32) activations. In NHWC, XLA pads the 32-channel lane axis to
+128, so every one of the ~10 layers pays 4x-inflated HBM round trips;
+measured ~14 ms of the 21 ms forward on a v5e. These kernels run the layers
+in a *planar* (C, H, W) layout — W on the 128-lane axis, H on sublanes —
+with the input image resident in VMEM (v5e has ~128 MB) and the output
+row-blocked over the grid so Mosaic pipelines the writes.
+
+Canvas contract: all kernels take/return (B, C, Hc, Wc) planar "canvas"
+arrays built by `to_canvas`: rows padded by _PAD=40 on top and bottom,
+columns 128-lane aligned. Canvas rows/columns outside the
+real (h_real, w_real) image may hold GARBAGE: every kernel masks the rows it
+loads against the real-image bounds and zero-pads columns in scratch, so
+garbage never propagates — it only ever occupies out-of-image positions.
+Crop once at stage exit with `from_canvas`. The 128-aligned width lets Mosaic
+merge (C, rows, Wc) -> (C, rows*Wc) as a no-op shape cast for the pointwise
+matmuls.
+
+Compile-time note: row chunks are a GRID dimension, not an in-kernel loop —
+an unrolled per-chunk loop of 9 lane-unaligned shifts made Mosaic's compile
+time explode (>9 min); as a grid the body compiles once and the input block
+(constant index_map) stays resident across steps.
+
+All kernels implement inference semantics (BatchNorm folded to a per-channel
+affine by the caller). Training uses the XLA path in
+`lwsnet_tpu.models.blocks` — same math via autodiff.
+
+Numerics: activations stay in the input dtype (bf16 in production); matmuls
+accumulate in f32. The depthwise 9-tap accumulation is in the activation
+dtype, matching the bf16 rounding regime of the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Canvas row padding. Must satisfy, for chunk c <= 16 and dilation d <= 16:
+#   top:    _PAD >= d + 7           (aligned window start never clips)
+#   bottom: _PAD >= (c-1) + d + 8   (aligned window end never clips)
+# so windows of real-row blocks are never clipped/misaligned; clipping then
+# only affects blocks whose output is entirely canvas padding (don't-care).
+_PAD = 40
+
+_VMEM_LIMIT = 120 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def to_canvas(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, H, W) planar -> canvas: rows padded by _PAD, W lane-aligned."""
+    W = x.shape[-1]
+    wp = -(-W // 128) * 128
+    return jnp.pad(x, ((0, 0), (0, 0), (_PAD, _PAD), (0, wp - W)))
+
+
+def from_canvas(x: jnp.ndarray, h_real: int, w_real: int) -> jnp.ndarray:
+    """Crop a canvas back to the real (B, C, h_real, w_real) image."""
+    return x[:, :, _PAD:_PAD + h_real, :w_real]
+
+
+def _pick_chunk(hc: int) -> int:
+    for c in (16, 8):
+        if hc % c == 0:
+            return c
+    raise ValueError(f"canvas height {hc} not divisible by 8")
+
+
+def _load_window(x_ref, scratch, i, chunk, d, h_real, w_real, aff_ref):
+    """Fill `scratch` (C, chunk+2d, Wc+2d) with the input rows feeding output
+    block i: [i*chunk - d, i*chunk + chunk + d) in canvas coordinates, clamped
+    into range (misalignment only happens for pure-pad blocks whose output is
+    don't-care). Rows outside the real image and the +-d column borders are
+    zeroed — the conv's zero padding must surround *activated* values
+    (reference: models/submodules.py:238-259 applies BN+ReLU before the
+    padded conv); BN-affine + ReLU is applied here when `aff_ref` is given.
+    """
+    _, C, Hc, Wc = x_ref.shape
+    win = chunk + 2 * d
+    # Mosaic requires dynamic sublane offsets provably 8-aligned. i*chunk is a
+    # multiple of 8 and d is static, so the raw offset i*chunk - d has the
+    # static residue s0 = (-d) % 8: read an 8-aligned window (win + 8 rows)
+    # and shave the residue with a static slice.
+    s0 = (-d) % 8
+    ub = ((Hc - (win + 8)) // 8) * 8
+    al = jnp.clip(i * chunk - d - s0, 0, ub)
+    al = pl.multiple_of(al, 8)
+    window = x_ref[0, :, pl.ds(al, win + 8), :]
+    rows = window[:, s0:s0 + win, :w_real]
+    if aff_ref is not None:
+        rows = jnp.maximum(rows * aff_ref[0, :, :, :w_real]
+                           + aff_ref[1, :, :, :w_real], 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (win, w_real), 0) + (al + s0)
+    mask = (g >= _PAD) & (g < _PAD + h_real)
+    rows = jnp.where(mask, rows, 0).astype(scratch.dtype)
+    scratch[:] = jnp.zeros(scratch.shape, scratch.dtype)
+    scratch[:, :, d:d + w_real] = rows
+    return scratch
+
+
+def _dwsep_kernel(x_ref, aff_ref, dw_ref, pw_ref, o_ref, scratch,
+                  *, d, chunk, h_real, w_real):
+    i = pl.program_id(1)
+    _, C, Hc, Wc = x_ref.shape
+    Co = pw_ref.shape[0]
+    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real, aff_ref)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+            term = sl * dw_ref[dy * 3 + dx]
+            acc = term if acc is None else acc + term
+    # pointwise: (Co, C) x (C, chunk*Wc) on the MXU, f32 accumulation
+    out = jax.lax.dot_general(
+        pw_ref[:], acc.reshape(C, chunk * Wc), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+
+
+def fused_dwsep(x: jnp.ndarray, affine: jnp.ndarray,
+                dwk: jnp.ndarray, pwk: jnp.ndarray, *, dilation: int,
+                h_real: int, w_real: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused BN-affine + ReLU + depthwise 3x3 (dilated) + pointwise 1x1.
+
+    Args:
+      x: (B, C, Hc, Wc) canvas (see module docstring).
+      affine: (2, C) folded BN (scale', shift') in x.dtype.
+      dwk: (3, 3, 1, C) HWIO depthwise taps in x.dtype.
+      pwk: (Co, C) pointwise weights in x.dtype.
+      h_real, w_real: true image size.
+    Returns:
+      (B, Co, Hc, Wc) canvas.
+    """
+    B, C, Hc, Wc = x.shape
+    Co = pwk.shape[0]
+    d = dilation
+    chunk = _pick_chunk(Hc)
+    # Mosaic cannot broadcast (C,1,1) over both sublanes and lanes; ship the
+    # per-channel vectors pre-broadcast along W (sublane-only broadcast left).
+    aff = jnp.broadcast_to(affine.reshape(2, C, 1, 1), (2, C, 1, Wc))
+    dwt = jnp.broadcast_to(dwk.reshape(9, C)[:, :, None, None], (9, C, 1, Wc))
+    return pl.pallas_call(
+        functools.partial(_dwsep_kernel, d=d, chunk=chunk,
+                          h_real=h_real, w_real=w_real),
+        grid=(B, Hc // chunk),
+        in_specs=[
+            pl.BlockSpec((1, C, Hc, Wc), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Co, chunk, Wc),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), x.dtype),
+        scratch_shapes=[pltpu.VMEM((C, chunk + 2 * d, Wc + 2 * d), x.dtype)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x, aff, dwt, pwk)
+
+
+def _dense_stack_kernel(x_ref, aff_ref, kt_ref, o_ref, scratch,
+                        *, d, chunk, h_real, w_real, has_aff):
+    """Dense conv for small Ci: im2col tap-stack in VMEM + one matmul."""
+    i = pl.program_id(1)
+    _, C, Hc, Wc = x_ref.shape
+    Co = kt_ref.shape[0]
+    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
+                     aff_ref if has_aff else None)
+    taps = [s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+            for dy in range(3) for dx in range(3)]
+    stack = jnp.concatenate(taps, axis=0)  # (9*C, chunk, Wc) tap-major
+    out = jax.lax.dot_general(
+        kt_ref[:], stack.reshape(9 * C, chunk * Wc), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+
+
+def _dense_acc_kernel(x_ref, aff_ref, k_ref, o_ref, scratch,
+                      *, d, chunk, h_real, w_real, has_aff):
+    """Dense conv for wide Ci: 9 per-tap matmuls with f32 accumulation."""
+    i = pl.program_id(1)
+    _, C, Hc, Wc = x_ref.shape
+    Co = k_ref.shape[1]
+    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
+                     aff_ref if has_aff else None)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+            term = jax.lax.dot_general(
+                k_ref[dy * 3 + dx], sl.reshape(C, chunk * Wc),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    o_ref[0] = acc.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+
+
+def _dense_vpu_kernel(x_ref, aff_ref, k_ref, o_ref, scratch,
+                      *, d, chunk, h_real, w_real, has_aff, cin):
+    """Dense conv for Co == 1: 9*Ci scalar FMAs on the VPU (MXU with M=1 is
+    ~0.25% utilized; the VPU does this in ~0.1 ms at full res)."""
+    i = pl.program_id(1)
+    _, C, Hc, Wc = x_ref.shape
+    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
+                     aff_ref if has_aff else None)
+    acc = jnp.zeros((chunk, Wc), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+            for ci in range(cin):
+                acc = acc + sl[ci].astype(jnp.float32) * k_ref[ci, dy * 3 + dx]
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def fused_dense(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
+                h_real: int, w_real: int,
+                affine: Optional[jnp.ndarray] = None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused [BN-affine + ReLU +] dense 3x3 (dilated) conv, canvas layout.
+
+    Strategy by shape: Co == 1 -> VPU shift-add; 9*Ci <= 48 -> im2col
+    tap-stack + single matmul; else per-tap matmul accumulation.
+
+    Args:
+      x: (B, Ci, Hc, Wc) canvas.
+      kernel: (3, 3, Ci, Co) HWIO (cross-correlation), x.dtype.
+      affine: optional (2, Ci) folded BN; None = plain conv.
+      h_real, w_real: true image size.
+    Returns:
+      (B, Co, Hc, Wc) canvas.
+    """
+    B, C, Hc, Wc = x.shape
+    Co = kernel.shape[-1]
+    d = dilation
+    chunk = _pick_chunk(Hc)
+    has_aff = affine is not None
+    aff = (jnp.broadcast_to(affine.reshape(2, C, 1, 1), (2, C, 1, Wc))
+           if has_aff
+           else jnp.zeros((2, C, 1, 1), x.dtype))  # placeholder, unused
+
+    kw = dict(d=d, chunk=chunk, h_real=h_real, w_real=w_real, has_aff=has_aff)
+    if Co == 1:
+        body = functools.partial(_dense_vpu_kernel, cin=C, **kw)
+        # (Ci, 9) scalar table in SMEM
+        kt = jnp.transpose(kernel[..., 0], (2, 0, 1)).reshape(C, 9)
+        kt = kt.astype(jnp.float32)
+        k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    elif 9 * C <= 48:
+        body = functools.partial(_dense_stack_kernel, **kw)
+        # (Co, 9*Ci) with column order (dy, dx, ci) — matches the tap-major
+        # concat in the kernel
+        kt = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(Co, 9 * C)
+        k_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        body = functools.partial(_dense_acc_kernel, **kw)
+        kt = jnp.transpose(kernel, (0, 1, 3, 2)).reshape(9, Co, C)
+        k_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        body,
+        grid=(B, Hc // chunk),
+        in_specs=[
+            pl.BlockSpec((1, C, Hc, Wc), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            k_spec,
+        ],
+        out_specs=pl.BlockSpec((1, Co, chunk, Wc),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), x.dtype),
+        scratch_shapes=[pltpu.VMEM((C, chunk + 2 * d, Wc + 2 * d), x.dtype)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x, aff, kt)
+
+
+def vmem_budget_ok(shape, dtype_bytes: int = 2) -> bool:
+    """True when a (B, C, H, W) planar layer fits the image-in-VMEM scheme:
+    input block + output blocks + chunk temps well under ~128 MB v5e VMEM."""
+    _, C, H, W = shape
+    w_pad = -(-W // 128) * 128
+    per_image = C * (H + 2 * _PAD) * w_pad * dtype_bytes
+    return per_image < 72 * 1024 * 1024
+
+
+
+# ---------------------------------------------------------------------------
+# Whole-chain kernels: an entire refinement tower (entry conv + 4 dw-sep
+# layers) or the refinement head (dense dilated conv + 4 dw-sep layers +
+# 1-channel output conv) in ONE kernel. Activations never leave VMEM between
+# layers — this removes the ~0.3 ms/layer block-copy machinery and every
+# intermediate HBM round trip that per-layer kernels pay.
+#
+# Geometry. The wrapper pads the planar image to its own "chain canvas":
+# rows [chunk, chunk + H) are real (top pad = one full chunk, bottom pad >=
+# one chunk), width lane-aligned to Wc. The grid tiles output rows in
+# `chunk`-row blocks; blocks 0 and nb-1 are pure padding and just write
+# zeros. Interior block i DMAs the row window
+#     [i*chunk - T8, i*chunk + chunk + T8)        T8 = sum(dilations)+1,
+#                                                 rounded up to 8 (DMA rows
+#                                                 stay 8-aligned)
+# from the HBM-resident input into a VMEM buffer — chunk >= T8 guarantees
+# the window never leaves the canvas, so no clamping and no misalignment.
+# Within the window every layer's valid row range is STATIC: layer k's input
+# occupies buffer rows [o0 + m_k, R8 - o0 - m_k), o0 = T8 - sum(d) - 1,
+# m_{k+1} = m_k + d_k. Image columns sit at [_CPAD, _CPAD + w_real);
+# everything outside stays zero (buffers zeroed per step; layers only write
+# the real-column span), giving the convs their zero padding for free.
+# ---------------------------------------------------------------------------
+
+_CPAD = 128  # in-buffer column margin (>= max dilation; multiple of 128)
+
+
+def _chain_margins(dilations):
+    m = [0]
+    for d in dilations:
+        m.append(m[-1] + d)
+    return m
+
+
+def _round8(n):
+    return -(-n // 8) * 8
+
+
+def _row_mask(base, m, rows, w_real, pad_top, h_real):
+    """Real-image row mask for buffer rows [m, m+rows); `base` is the canvas
+    row of buffer row 0, real canvas rows are [pad_top, pad_top + h_real)."""
+    g = jax.lax.broadcasted_iota(jnp.int32, (rows, w_real), 0) + (base + m)
+    return (g >= pad_top) & (g < pad_top + h_real)
+
+
+def _apply_bn_relu(buf, aff_ref, k, base, m, rows, w_real, pad_top, h_real):
+    """In-place BN-affine + ReLU on buffer rows [m, m+rows), real columns
+    only; out-of-image rows forced to zero (the conv's zero padding must
+    surround *activated* values, reference: models/submodules.py:238-259).
+    aff_ref: (L, 2, C, 1, >=w_real)."""
+    v = buf[:, m:m + rows, _CPAD:_CPAD + w_real]
+    v = jnp.maximum(v * aff_ref[k, 0, :, :, :w_real]
+                    + aff_ref[k, 1, :, :, :w_real], 0)
+    mask = _row_mask(base, m, rows, w_real, pad_top, h_real)
+    buf[:, m:m + rows, _CPAD:_CPAD + w_real] = jnp.where(
+        mask, v, 0).astype(buf.dtype)
+
+
+def _dwsep_step(src, dst, dw_ref, pw_ref, k, d, m, rows_in, Wc, w_real):
+    """One depthwise(dilated d) + pointwise layer: src rows [m, m+rows_in)
+    (already activated) -> dst rows [m+d, m+d+rows_in-2d), real columns.
+    dw_ref: (L, 9, C, 1, >=Wc); pw_ref: (L, Co, C)."""
+    rows_out = rows_in - 2 * d
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = src[:, m + dy * d:m + dy * d + rows_out,
+                     _CPAD + (dx - 1) * d:_CPAD + (dx - 1) * d + Wc]
+            term = sl * dw_ref[k, dy * 3 + dx]
+            acc = term if acc is None else acc + term
+    C = acc.shape[0]
+    out = jax.lax.dot_general(
+        pw_ref[k], acc.reshape(C, rows_out * Wc), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Co = out.shape[0]
+    out = out.reshape(Co, rows_out, Wc).astype(dst.dtype)
+    dst[:, m + d:m + d + rows_out, _CPAD:_CPAD + w_real] = out[:, :, :w_real]
+
+
+def _zero_and_dma(x_ref, buf, sem, b, i, chunk, T8, Wc):
+    """Zero `buf`, then DMA the row window [i*chunk - T8, +R8) of batch b's
+    HBM canvas into its center columns. Returns the window's canvas base."""
+    R8 = buf.shape[1]
+    buf[:] = jnp.zeros(buf.shape, buf.dtype)
+    # chunk and T8 are multiples of 8; hint it so Mosaic allows the DMA slice
+    start = pl.multiple_of(i * chunk - T8, 8)
+    dma = pltpu.make_async_copy(
+        x_ref.at[b, :, pl.ds(start, R8), :],
+        buf.at[:, :, _CPAD:_CPAD + Wc],
+        sem)
+    dma.start()
+    dma.wait()
+    return start
+
+
+def _tower_kernel(x_ref, ek_ref, aff_ref, dw_ref, pw_ref, o_ref,
+                  xbuf, a_buf, b_buf, sem,
+                  *, chunk, T8, dilations, pad_top, h_real, w_real, cin):
+    """Entry 3x3 dense conv (d=1, no BN) + len(dilations) dw-sep layers."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    Wc = o_ref.shape[3]
+    R8 = xbuf.shape[1]
+    o0 = T8 - (1 + sum(dilations))
+
+    @pl.when((i == 0) | (i == nb - 1))
+    def _():
+        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    @pl.when((i > 0) & (i < nb - 1))
+    def _():
+        base = _zero_and_dma(x_ref, xbuf, sem, b, i, chunk, T8, Wc)
+        a_buf[:] = jnp.zeros(a_buf.shape, a_buf.dtype)
+        b_buf[:] = jnp.zeros(b_buf.shape, b_buf.dtype)
+
+        # mask out-of-image rows of the raw input (no BN on the entry conv,
+        # reference: models/submodules.py:284-286)
+        v = xbuf[:, :, _CPAD:_CPAD + w_real]
+        mask = _row_mask(base, 0, R8, w_real, pad_top, h_real)
+        xbuf[:, :, _CPAD:_CPAD + w_real] = jnp.where(
+            mask, v, 0).astype(xbuf.dtype)
+
+        # entry conv: im2col stack over 9 taps x cin channels, one matmul
+        rows_in = R8 - 2 * o0
+        rows_out = rows_in - 2
+        taps = [xbuf[:, o0 + dy:o0 + dy + rows_out,
+                     _CPAD + (dx - 1):_CPAD + (dx - 1) + Wc]
+                for dy in range(3) for dx in range(3)]
+        stack = jnp.concatenate(taps, axis=0)  # (9*cin, rows_out, Wc)
+        out = jax.lax.dot_general(
+            ek_ref[:], stack.reshape(9 * cin, rows_out * Wc),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        F = out.shape[0]
+        out = out.reshape(F, rows_out, Wc).astype(a_buf.dtype)
+        a_buf[:, o0 + 1:o0 + 1 + rows_out,
+              _CPAD:_CPAD + w_real] = out[:, :, :w_real]
+
+        margins = [o0 + 1 + m for m in _chain_margins(dilations)]
+        bufs = [a_buf, b_buf]
+        for k, d in enumerate(dilations):
+            src, dst = bufs[k % 2], bufs[(k + 1) % 2]
+            rows_k = R8 - 2 * margins[k]
+            _apply_bn_relu(src, aff_ref, k, base, margins[k], rows_k,
+                           w_real, pad_top, h_real)
+            _dwsep_step(src, dst, dw_ref, pw_ref, k, d, margins[k], rows_k,
+                        Wc, w_real)
+        final = bufs[len(dilations) % 2]
+        o_ref[0] = final[:, T8:T8 + chunk, _CPAD:_CPAD + Wc]
+
+
+def _chain_canvas(x, chunk):
+    """Pad planar (B, C, H, W) to the chain canvas: top pad = one chunk,
+    bottom pad fills to (ceil(H/chunk) + 2) * chunk rows, width lane-aligned."""
+    B, C, H, W = x.shape
+    Wc = -(-W // 128) * 128
+    n_real = -(-H // chunk)
+    Hc = (n_real + 2) * chunk
+    return jnp.pad(x, ((0, 0), (0, 0), (chunk, Hc - chunk - H),
+                       (0, Wc - W))), Hc, Wc
+
+
+def _pick_chain_chunk(total8, *buffer_channels, wc):
+    """Largest chunk whose VMEM scratch footprint stays under budget."""
+    budget = 72 * 1024 * 1024
+    wcp = wc + 2 * _CPAD
+    for chunk in (184, 152, 112, 96, 64, 48, 32):
+        if chunk < total8:
+            continue
+        rows = chunk + 2 * total8
+        if sum(c * rows * wcp * 2 for c in buffer_channels) <= budget:
+            return chunk
+    raise ValueError("no chain chunk fits VMEM")
+
+
+def fused_tower(x: jnp.ndarray, entry_kernel: jnp.ndarray,
+                affines: jnp.ndarray, dwks: jnp.ndarray, pwks: jnp.ndarray,
+                *, dilations, interpret: bool = False) -> jnp.ndarray:
+    """A full refinement tower (reference: models/submodules.py:282-300) in
+    one kernel: plain 3x3 conv then L = len(dilations) dw-sep layers each
+    preceded by BN-affine + ReLU.
+
+    Args:
+      x: (B, Ci, H, W) PLANAR image (Ci = 3 RGB or 1 disparity).
+      entry_kernel: (3, 3, Ci, F) HWIO.
+      affines: (L, 2, F) folded BN per layer.
+      dwks: (L, 3, 3, 1, F) depthwise taps per layer.
+      pwks: (L, F, F) pointwise weights per layer.
+    Returns:
+      (B, F, H, W) planar.
+    """
+    B, Ci, H, W = x.shape
+    L = len(dilations)
+    F = pwks.shape[1]
+    total = 1 + sum(dilations)
+    T8 = _round8(total)
+    Wc = -(-W // 128) * 128
+    chunk = _pick_chain_chunk(T8, Ci, F, F, wc=Wc)
+    xc, Hc, Wc = _chain_canvas(x, chunk)
+    R8 = chunk + 2 * T8
+    Wcp = Wc + 2 * _CPAD
+    dt = x.dtype
+
+    ek = jnp.transpose(entry_kernel, (3, 0, 1, 2)).reshape(F, 9 * Ci)
+    aff = jnp.broadcast_to(affines[:, :, :, None, None], (L, 2, F, 1, Wc))
+    dwt = jnp.broadcast_to(dwks.reshape(L, 9, F)[:, :, :, None, None],
+                           (L, 9, F, 1, Wc))
+    out = pl.pallas_call(
+        functools.partial(_tower_kernel, chunk=chunk, T8=T8,
+                          dilations=tuple(dilations), pad_top=chunk,
+                          h_real=H, w_real=W, cin=Ci),
+        grid=(B, Hc // chunk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F, chunk, Wc), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F, Hc, Wc), dt),
+        scratch_shapes=[
+            pltpu.VMEM((Ci, R8, Wcp), dt),   # entry input window
+            pltpu.VMEM((F, R8, Wcp), dt),    # ping
+            pltpu.VMEM((F, R8, Wcp), dt),    # pong
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xc, ek, aff, dwt, pwks)
+    return out[:, :, chunk:chunk + H, :W]
+
+
+def _head_kernel(x_ref, aff0_ref, k0_ref, aff_ref, dw_ref, pw_ref, fk_ref,
+                 o_ref, xbuf, a_buf, b_buf, sem,
+                 *, chunk, T8, d0, dilations, pad_top, h_real, w_real,
+                 cin, cmid):
+    """BN+ReLU+dense 3x3 (dilation d0) + dw-sep chain + plain 3x3 -> 1."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    Wc = o_ref.shape[3]
+    R8 = xbuf.shape[1]
+    o0 = T8 - (d0 + sum(dilations) + 1)
+
+    @pl.when((i == 0) | (i == nb - 1))
+    def _():
+        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    @pl.when((i > 0) & (i < nb - 1))
+    def _():
+        base = _zero_and_dma(x_ref, xbuf, sem, b, i, chunk, T8, Wc)
+        a_buf[:] = jnp.zeros(a_buf.shape, a_buf.dtype)
+        b_buf[:] = jnp.zeros(b_buf.shape, b_buf.dtype)
+
+        # BN + ReLU then dense dilated conv (reference:
+        # models/submodules.py:302-311) via 9 per-tap matmuls, f32 accum.
+        v = xbuf[:, :, _CPAD:_CPAD + w_real]
+        v = jnp.maximum(v * aff0_ref[0, :, :, :w_real]
+                        + aff0_ref[1, :, :, :w_real], 0)
+        mask = _row_mask(base, 0, R8, w_real, pad_top, h_real)
+        xbuf[:, :, _CPAD:_CPAD + w_real] = jnp.where(
+            mask, v, 0).astype(xbuf.dtype)
+
+        rows_in = R8 - 2 * o0
+        rows_out = rows_in - 2 * d0
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                sl = xbuf[:, o0 + dy * d0:o0 + dy * d0 + rows_out,
+                          _CPAD + (dx - 1) * d0:_CPAD + (dx - 1) * d0 + Wc]
+                term = jax.lax.dot_general(
+                    k0_ref[dy * 3 + dx], sl.reshape(cin, rows_out * Wc),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+        out = acc.reshape(cmid, rows_out, Wc).astype(a_buf.dtype)
+        a_buf[:, o0 + d0:o0 + d0 + rows_out,
+              _CPAD:_CPAD + w_real] = out[:, :, :w_real]
+
+        margins = [o0 + d0 + m for m in _chain_margins(dilations)]
+        bufs = [a_buf, b_buf]
+        for k, d in enumerate(dilations):
+            src, dst = bufs[k % 2], bufs[(k + 1) % 2]
+            rows_k = R8 - 2 * margins[k]
+            _apply_bn_relu(src, aff_ref, k, base, margins[k], rows_k,
+                           w_real, pad_top, h_real)
+            _dwsep_step(src, dst, dw_ref, pw_ref, k, d, margins[k], rows_k,
+                        Wc, w_real)
+        final = bufs[len(dilations) % 2]
+
+        # plain 3x3 -> 1 output conv on the VPU
+        # (reference: models/submodules.py:313-318)
+        m = margins[-1]
+        # every other conv's input is re-masked by the next activation; the
+        # output conv has none, so zero out-of-image rows of `final` here to
+        # reproduce the conv's zero padding at the image boundary
+        rows_f = R8 - 2 * m
+        vf = final[:, m:m + rows_f, _CPAD:_CPAD + w_real]
+        mf = _row_mask(base, m, rows_f, w_real, pad_top, h_real)
+        final[:, m:m + rows_f, _CPAD:_CPAD + w_real] = jnp.where(
+            mf, vf, 0).astype(final.dtype)
+        facc = jnp.zeros((chunk, Wc), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                sl = final[:, m + dy:m + dy + chunk,
+                           _CPAD + (dx - 1):_CPAD + (dx - 1) + Wc]
+                for ci in range(cmid):
+                    facc = facc + (sl[ci].astype(jnp.float32)
+                                   * fk_ref[ci, dy * 3 + dx])
+        o_ref[0, 0] = facc.astype(o_ref.dtype)
+
+
+def fused_head(x: jnp.ndarray, affine0: jnp.ndarray, dense_kernel: jnp.ndarray,
+               affines: jnp.ndarray, dwks: jnp.ndarray, pwks: jnp.ndarray,
+               out_kernel: jnp.ndarray, *, dense_dilation: int, dilations,
+               interpret: bool = False) -> jnp.ndarray:
+    """The refinement head (reference: models/submodules.py:302-326) in one
+    kernel: BN+ReLU+dense dilated 3x3 (2F -> F), L dw-sep layers, plain
+    3x3 -> 1 output conv.
+
+    Args:
+      x: (B, 2F, H, W) PLANAR (concatenated tower outputs).
+      affine0: (2, 2F) folded BN for the dense layer's input.
+      dense_kernel: (3, 3, 2F, F) HWIO.
+      affines: (L, 2, F); dwks: (L, 3, 3, 1, F); pwks: (L, F, F).
+      out_kernel: (3, 3, F, 1) HWIO.
+    Returns:
+      (B, 1, H, W) planar.
+    """
+    B, C2, H, W = x.shape
+    L = len(dilations)
+    F = pwks.shape[1]
+    total = dense_dilation + sum(dilations) + 1
+    T8 = _round8(total)
+    Wc = -(-W // 128) * 128
+    chunk = _pick_chain_chunk(T8, C2, F, F, wc=Wc)
+    xc, Hc, Wc = _chain_canvas(x, chunk)
+    R8 = chunk + 2 * T8
+    Wcp = Wc + 2 * _CPAD
+    dt = x.dtype
+
+    aff0 = jnp.broadcast_to(affine0[:, :, None, None], (2, C2, 1, Wc))
+    k0 = jnp.transpose(dense_kernel, (0, 1, 3, 2)).reshape(9, F, C2)
+    aff = jnp.broadcast_to(affines[:, :, :, None, None], (L, 2, F, 1, Wc))
+    dwt = jnp.broadcast_to(dwks.reshape(L, 9, F)[:, :, :, None, None],
+                           (L, 9, F, 1, Wc))
+    fk = jnp.transpose(out_kernel[..., 0], (2, 0, 1)).reshape(F, 9)
+    fk = fk.astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_head_kernel, chunk=chunk, T8=T8, d0=dense_dilation,
+                          dilations=tuple(dilations), pad_top=chunk,
+                          h_real=H, w_real=W, cin=C2, cmid=F),
+        grid=(B, Hc // chunk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, chunk, Wc), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Hc, Wc), dt),
+        scratch_shapes=[
+            pltpu.VMEM((C2, R8, Wcp), dt),
+            pltpu.VMEM((F, R8, Wcp), dt),
+            pltpu.VMEM((F, R8, Wcp), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(xc, aff0, k0, aff, dwt, pwks, fk)
+    return out[:, :, chunk:chunk + H, :W]
