@@ -4,10 +4,12 @@ the same manual regression check the reference documents
 (reference: README.md:119-129, inference.py:66-70).
 
     python examples/golden_pair_inference.py [--ckpt results/finetune] \
-        [--out /tmp/golden_out]
+        [--pdparams weights.pdparams] [--out /tmp/golden_out]
 
-Without --ckpt it runs with random weights (exercises the full pipeline;
-outputs are noise but shapes/finiteness are checked).
+--pdparams loads the reference's released Paddle weights through
+`lwsnet_tpu.convert` — with them the stage PNGs should reproduce
+reference/{1..4}.png. Without weights it runs random init (exercises the
+full pipeline; outputs are noise but shapes/finiteness are checked).
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ GOLDEN_DIR = "/root/reference/reference"
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--pdparams", type=str, default="",
+                   help="reference .pdparams checkpoint to convert and load")
     p.add_argument("--out", type=str, default="/tmp/golden_out")
     p.add_argument("--left", type=str,
                    default=os.path.join(GOLDEN_DIR, "left_test.png"))
@@ -37,6 +41,10 @@ def main() -> None:
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
     from lwsnet_tpu import LWSNet, ModelConfig, TrainConfig
     from lwsnet_tpu.inference import InferenceEngine, save_disparity_png
     from lwsnet_tpu.training.checkpoint import CheckpointManager
@@ -44,13 +52,18 @@ def main() -> None:
 
     cfg = ModelConfig()
     model = LWSNet(cfg)
-    state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0),
-                               (64, 128))
-    if args.ckpt:
-        state = CheckpointManager(args.ckpt).restore_params_only(state)
-        assert state is not None, f"no checkpoint in {args.ckpt}"
+    if args.pdparams:
+        from lwsnet_tpu.convert import load_reference_checkpoint
+        variables = load_reference_checkpoint(args.pdparams)
+    else:
+        state = create_train_state(model, TrainConfig(),
+                                   jax.random.PRNGKey(0), (64, 128))
+        if args.ckpt:
+            state = CheckpointManager(args.ckpt).restore_params_only(state)
+            assert state is not None, f"no checkpoint in {args.ckpt}"
+        variables = state.variables
 
-    engine = InferenceEngine(cfg, state.variables)
+    engine = InferenceEngine(cfg, variables)
     disps, dt = engine.infer_files(args.left, args.right)
     print(f"4-stage inference: {dt * 1000:.1f} ms (timed per-dispatch; see "
           "bench.py for the trustworthy number)")

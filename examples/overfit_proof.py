@@ -1,0 +1,145 @@
+"""Trainability proof: overfit a tiny synthetic stereo set on the real chip.
+
+Accuracy evidence in the absence of the (undownloadable) released weights
+(VERDICT r1 item 3): build 4 stereo pairs with EXACTLY KNOWN ground truth by
+horizontally warping crops of the reference golden left image with smooth
+synthetic disparity fields, then run the real `Trainer.fit` loop (pipeline ->
+jitted train step -> eval -> best checkpoint) until the network overfits the
+set. A falling train loss + near-zero final EPE proves the whole training
+stack (model, loss, Adam, BN, data path) optimizes end to end on TPU.
+
+    python examples/overfit_proof.py [--epochs 120] [--out OVERFIT_PROOF.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN_LEFT = "/root/reference/reference/left_test.png"
+H, W = 256, 512  # the reference's train crop (reference: dataloader.py:61)
+
+
+def synth_pair(left: np.ndarray, rng: np.random.Generator):
+    """Given a left image (H, W, 3) float [0,1], synthesize a smooth
+    disparity field and the right view right(x) = left(x + d(x)) so that
+    warping right by d recovers left — i.e. d is the true disparity."""
+    yy, xx = np.meshgrid(np.linspace(0, 3, H), np.linspace(0, 3, W),
+                         indexing="ij")
+    a, b, c = rng.uniform(5, 25), rng.uniform(0, 8), rng.uniform(0, 8)
+    disp = a + b * np.sin(yy + rng.uniform(0, 6)) \
+        + c * np.cos(xx + rng.uniform(0, 6))
+    disp = disp.astype(np.float32)
+
+    # right[y, x] = left[y, x + disp[y, x]] (linear interp, clamped)
+    pos = np.arange(W, dtype=np.float32)[None, :] + disp
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, W - 1)
+    i1 = np.clip(i0 + 1, 0, W - 1)
+    w1 = (pos - np.floor(pos)).astype(np.float32)[..., None]
+    rows = np.arange(H)[:, None]
+    right = left[rows, i0] * (1 - w1) + left[rows, i1] * w1
+    # GT invalid where the sample went out of frame
+    disp[pos > W - 1] = 0.0
+    return right.astype(np.float32), disp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
+    p.add_argument("--workdir", type=str, default="/tmp/overfit_proof")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
+    from PIL import Image
+
+    from lwsnet_tpu import ModelConfig, TrainConfig
+    from lwsnet_tpu.data.kitti2015 import StereoIndex
+    from lwsnet_tpu.data.pipeline import StereoPipeline
+    from lwsnet_tpu.training.loop import Trainer, TrainerConfig
+
+    os.makedirs(args.workdir, exist_ok=True)
+    src = np.asarray(Image.open(GOLDEN_LEFT).convert("RGB"),
+                     dtype=np.float32) / 255.0
+    rng = np.random.default_rng(0)
+
+    lefts, rights, disps = [], [], []
+    for i in range(4):
+        y0 = int(rng.integers(0, src.shape[0] - H + 1))
+        x0 = int(rng.integers(0, src.shape[1] - W + 1))
+        crop = src[y0:y0 + H, x0:x0 + W]
+        right, disp = synth_pair(crop, rng)
+        lp = os.path.join(args.workdir, f"l_{i}.png")
+        rp = os.path.join(args.workdir, f"r_{i}.png")
+        dp = os.path.join(args.workdir, f"d_{i}.png")
+        Image.fromarray((crop * 255).astype(np.uint8)).save(lp)
+        Image.fromarray((right * 255).astype(np.uint8)).save(rp)
+        Image.fromarray((disp * 256).astype(np.uint16)).save(dp)
+        lefts.append(lp); rights.append(rp); disps.append(dp)
+    index = StereoIndex(lefts, rights, disps)
+
+    mcfg = ModelConfig()  # production bf16
+    tcfg = TrainConfig(lr=args.lr, epochs=args.epochs, train_batch_size=4,
+                       eval_batch_size=4, mask_min_disp=0.0,
+                       save_path=os.path.join(args.workdir, "ckpt"),
+                       log_every=10)
+    train_pipe = StereoPipeline(index, 4, training=True, crop=(H, W),
+                                kitti=True, num_workers=4)
+    eval_pipe = StereoPipeline(index, 4, training=False, crop=(H, W),
+                               kitti=True, num_workers=4)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    trainer = Trainer(
+        TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+        train_pipe, eval_pipe, logging.getLogger("overfit"))
+    trainer.init_state()
+
+    epe0 = trainer.evaluate()  # random-init EPE for contrast
+    losses, epes = [], []
+    orig = trainer.train_step
+
+    def spy(state, l, r, g):
+        state, aux = orig(state, l, r, g)
+        losses.append(float(aux["loss"]))
+        return state, aux
+
+    trainer.train_step = spy
+    t0 = time.time()
+    final_epe = trainer.fit(args.epochs)
+    wall = time.time() - t0
+
+    result = {
+        "device": jax.devices()[0].device_kind,
+        "epochs": args.epochs,
+        "steps": len(losses),
+        "initial_epe_px": round(float(epe0), 3),
+        "final_epe_px": round(float(final_epe), 3),
+        "best_epe_px": round(float(trainer.best_error), 3),
+        "first_loss": round(losses[0], 3),
+        "last_loss": round(losses[-1], 3),
+        "loss_curve_every_10": [round(x, 3) for x in losses[::10]],
+        "train_wall_s": round(wall, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    ok = result["best_epe_px"] < 1.5 and losses[-1] < losses[0] * 0.1
+    print("OVERFIT PROOF:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,15 @@ class ModelConfig:
     # statistics always stay float32; bfloat16 compute feeds the MXU at twice
     # the f32 rate on TPU.
     compute_dtype: str = "bfloat16"
-    # Use the fused Pallas cost-volume kernels when True; the jnp path is the
-    # correctness oracle and the fallback on CPU.
+    # Use the fused Pallas refinement kernels for stage-4 inference when
+    # True; the XLA module path is the training path, the correctness oracle,
+    # and the sane CPU fallback.
     use_pallas: bool = True
+    # Pallas refinement granularity: "layers" = one kernel per layer
+    # (seconds to compile); "chain" = whole tower/head per kernel,
+    # VMEM-resident activations (multi-minute Mosaic compile at full res —
+    # pair with the persistent compilation cache).
+    pallas_mode: str = "layers"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept

@@ -1,9 +1,10 @@
 """ctypes binding for the native data-path library (native/libstereoload.so).
 
-Provides PNG decode (8-bit RGB images, 16-bit KITTI disparity) and fused
-crop+normalize, with a transparent fallback to the PIL/numpy path when the
-library hasn't been built (`make -C native`). The Python pipeline calls
-`decode_image` / `decode_disparity_png` which route automatically.
+Provides `decode_png` (8-bit RGB images, 16-bit KITTI disparity) and the
+fused `crop_normalize_u8` / `crop_disparity_u16` passes. The transforms in
+`lwsnet_tpu.data.transforms` (`decode_image_u8`, `crop_normalize`,
+`load_crop_disparity_kitti`) route through these automatically and fall back
+to PIL/numpy when the library hasn't been built (`make -C native`).
 """
 
 from __future__ import annotations

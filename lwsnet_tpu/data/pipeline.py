@@ -45,25 +45,41 @@ def _load_example(index: StereoIndex, i: int, training: bool,
                   rng: np.random.Generator,
                   sceneflow_full_gt_crop: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ch, cw = crop
+    if kitti:
+        # KITTI fast path: decode to uint8, then ONE fused C++ pass does
+        # crop + /255 + normalize touching only the crop window
+        # (native/src/stereo_ops.cc; numpy fallback inside the transforms).
+        left_u8 = T.decode_image_u8(index.left[i])
+        right_u8 = T.decode_image_u8(index.right[i])
+        h, w = left_u8.shape[:2]
+        if training:
+            # same draw order as T.random_crop (reference: dataloader.py:61-70)
+            y0 = int(rng.integers(0, h - ch + 1))
+            x0 = int(rng.integers(0, w - cw + 1))
+        else:
+            # bottom-right eval crop (reference: dataloader/dataloader.py:81-83)
+            y0, x0 = h - ch, w - cw
+        left = T.crop_normalize(left_u8, y0, x0, ch, cw)
+        right = T.crop_normalize(right_u8, y0, x0, ch, cw)
+        if index.disp:
+            disp = T.load_crop_disparity_kitti(index.disp[i], y0, x0, ch, cw)
+        else:
+            disp = np.zeros((ch, cw), dtype=np.float32)
+        return left, right, disp
+
+    # SceneFlow path: PFM ground truth, zero-padded short eval crops.
     left = T.load_image(index.left[i])
     right = T.load_image(index.right[i])
-    if index.disp:
-        disp = (T.load_disparity_kitti(index.disp[i]) if kitti
-                else T.load_disparity_sceneflow(index.disp[i]))
-    else:
-        disp = np.zeros(left.shape[:2], dtype=np.float32)
-
-    ch, cw = crop
+    disp = (T.load_disparity_sceneflow(index.disp[i]) if index.disp
+            else np.zeros(left.shape[:2], dtype=np.float32))
     if training:
         left, right, disp = T.random_crop(left, right, disp, ch, cw, rng)
     else:
         # SceneFlow eval crops 544 rows from 540-row images; the top rows are
         # zero-padded (reference: dataloader/dataloader.py:85 via PIL).
-        left = T.bottom_right_crop(left, ch, cw, pad_if_short=not kitti)
-        right = T.bottom_right_crop(right, ch, cw, pad_if_short=not kitti)
-        if kitti:
-            # (reference: dataloader/dataloader.py:83)
-            disp = T.bottom_right_crop(disp, ch, cw)
+        left = T.bottom_right_crop(left, ch, cw, pad_if_short=True)
+        right = T.bottom_right_crop(right, ch, cw, pad_if_short=True)
         # SceneFlow eval keeps full-size GT; the row offset is handled in the
         # metric (reference: dataloader/dataloader.py:87, train.py:189).
 

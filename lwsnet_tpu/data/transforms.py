@@ -26,15 +26,48 @@ def load_image(path: str) -> np.ndarray:
     """Decode an RGB image to HWC float32 in [0, 1]
     (reference: dataloader/dataloader.py:18-19, 68). Uses the native C++
     decoder (native/libstereoload.so) when built, PIL otherwise."""
+    return decode_image_u8(path).astype(np.float32) / 255.0
+
+
+def decode_image_u8(path: str) -> np.ndarray:
+    """Decode an RGB image to HWC uint8 — the input format of the native
+    fused crop+normalize (native/src/stereo_ops.cc). Native C++ PNG decoder
+    when built, PIL otherwise."""
     if native.available() and path.lower().endswith(".png"):
         try:
             raw = native.decode_png(path)
             if raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[2] >= 3:
-                return raw[..., :3].astype(np.float32) / 255.0
+                return np.ascontiguousarray(raw[..., :3])
         except ValueError:
             pass  # unsupported subformat -> PIL fallback
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def crop_normalize(img_u8: np.ndarray, y0: int, x0: int, ch: int,
+                   cw: int) -> np.ndarray:
+    """Fused crop + /255 + ImageNet-normalize of a decoded HWC uint8 image.
+    One C++ pass touching only the crop window when the native library is
+    built (native/src/stereo_ops.cc:18-43); numpy fallback otherwise."""
+    if native.available():
+        return native.crop_normalize_u8(img_u8, y0, x0, ch, cw,
+                                        IMAGENET_MEAN, IMAGENET_STD)
+    win = img_u8[y0:y0 + ch, x0:x0 + cw].astype(np.float32) / 255.0
+    return normalize(win)
+
+
+def load_crop_disparity_kitti(path: str, y0: int, x0: int, ch: int,
+                              cw: int) -> np.ndarray:
+    """Decode + fused crop + /256 of a KITTI uint16 disparity PNG
+    (native/src/stereo_ops.cc:46-63 when built)."""
+    if native.available():
+        try:
+            raw = native.decode_png(path)
+            if raw.dtype == np.uint16 and raw.ndim == 2:
+                return native.crop_disparity_u16(raw, y0, x0, ch, cw)
+        except ValueError:
+            pass
+    return load_disparity_kitti(path)[y0:y0 + ch, x0:x0 + cw]
 
 
 def load_disparity_kitti(path: str) -> np.ndarray:

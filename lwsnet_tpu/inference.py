@@ -24,6 +24,47 @@ from lwsnet_tpu.models.lwsnet import LWSNet
 from lwsnet_tpu.utils.colormap import colorize_disparity
 
 
+def make_forward(model: LWSNet, num_stages: Optional[int] = None,
+                 use_pallas: Optional[bool] = None,
+                 interpret: Optional[bool] = None):
+    """Build the jittable inference forward honoring `cfg.use_pallas`.
+
+    Stages 1-3 always run the XLA cascade. When `use_pallas` (default:
+    `model.cfg.use_pallas`) and 4 stages are requested, the stage-4
+    refinement runs through the fused whole-chain Pallas kernels
+    (`lwsnet_tpu.models.refine_pallas`) — BN folded to inference affines,
+    activations VMEM-resident across the tower/head layers. Off-TPU the
+    kernels fall back to interpreter mode (slow; the XLA path via
+    use_pallas=False is the sane CPU choice).
+
+    Returns forward(variables, left, right) -> [disp_1..disp_stages].
+    """
+    cfg = model.cfg
+    stages = num_stages if num_stages is not None else cfg.num_stages
+    if use_pallas is None:
+        use_pallas = cfg.use_pallas
+    if stages < 4 or not use_pallas:
+        def forward(variables, left, right):
+            return model.apply(variables, left, right, train=False,
+                               num_stages=stages)
+        return forward
+
+    from lwsnet_tpu.models import refine_pallas
+
+    interp = (jax.default_backend() != "tpu") if interpret is None \
+        else interpret
+
+    def forward(variables, left, right):
+        preds = model.apply(variables, left, right, train=False,
+                            num_stages=3)
+        res = refine_pallas.refine_residual(
+            variables, left, preds[-1], dtype=cfg.dtype, interpret=interp,
+            mode=cfg.pallas_mode)
+        return preds + [preds[-1] + res]
+
+    return forward
+
+
 class InferenceEngine:
     """Wraps a model + params with per-(shape, stages) compiled programs."""
 
@@ -39,10 +80,8 @@ class InferenceEngine:
     def _program(self, shape: Tuple[int, ...], num_stages: int):
         key = (shape, num_stages)
         if key not in self._programs:
-            fn = jax.jit(
-                lambda v, l, r: self.model.apply(
-                    v, l, r, train=False, num_stages=num_stages))
-            self._programs[key] = fn
+            self._programs[key] = jax.jit(
+                make_forward(self.model, num_stages=num_stages))
         return self._programs[key]
 
     def preprocess(self, left: np.ndarray, right: np.ndarray

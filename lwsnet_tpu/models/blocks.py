@@ -221,8 +221,10 @@ class PreConvDW(nn.Module):
             dtype=jnp.float32, param_dtype=jnp.float32,
         )(x)
         x = nn.relu(x).astype(self.dtype)
-        assert self.kernel == 3 and self.stride == 1, (
-            "shift-add depthwise path assumes k3/s1 (all reference uses)")
+        assert self.kernel == 3 and self.stride == 1 and self.padding == 1, (
+            "shift-add depthwise path assumes k3/s1/p1 (all reference uses): "
+            "dw_conv_shift_add always pads by `dilation`, which equals the "
+            "reference's padding=dilation quirk only when padding==1")
         dw = self.param("dw_kernel", kaiming, (3, 3, 1, in_ch), jnp.float32)
         x = dw_conv_shift_add(x, dw.astype(self.dtype), self.dilation)
         return nn.Conv(  # pointwise

@@ -1,0 +1,151 @@
+"""Inference-time Pallas path for the stage-4 refinement.
+
+Bridges the Flax parameter tree of `RefinementTower`/`RefinementHead`
+(lwsnet_tpu.models.refinement) to the fused whole-chain Pallas kernels in
+`lwsnet_tpu.ops.pallas.refine`: BatchNorm running statistics are folded into
+per-channel affines (inference semantics), activations move to the planar
+(B, C, H, W) layout the kernels want, and the two towers + head run as three
+kernels whose intermediates never leave VMEM.
+
+Semantically identical to the XLA modules in eval mode
+(reference: models/submodules.py:282-326, wired at models/models.py:158-162);
+the XLA path remains the training path and the correctness oracle
+(tests/test_pallas_refine.py checks parity in interpreter mode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lwsnet_tpu.ops.pallas import refine as K
+
+# Dilation schedules of the reference towers/head
+# (reference: models/submodules.py:282-326).
+TOWER_DILATIONS = (2, 4, 8, 16)
+HEAD_DILATIONS = (8, 4, 2, 1)
+HEAD_DENSE_DILATION = 8
+
+_BN_EPS = 1e-5  # matches nn.BatchNorm epsilon in lwsnet_tpu.models.blocks
+
+
+def fold_bn(bn_params: dict, bn_stats: dict) -> jnp.ndarray:
+    """Fold BatchNorm (inference mode) into a (2, C) affine (scale', shift'):
+    y = x * scale' + shift' with scale' = gamma/sqrt(var+eps),
+    shift' = beta - mean * scale'. Computed in float32."""
+    a = bn_params["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        bn_stats["var"].astype(jnp.float32) + _BN_EPS)
+    b = bn_params["bias"].astype(jnp.float32) - \
+        bn_stats["mean"].astype(jnp.float32) * a
+    return jnp.stack([a, b])
+
+
+def _dwsep_weights(params: dict, stats: dict, n_layers: int, dtype):
+    """Stacked (affines, dwks, pwks) of `n_layers` PreConvDW blocks."""
+    affs, dwks, pwks = [], [], []
+    for i in range(n_layers):
+        blk, bst = params[f"PreConvDW_{i}"], stats[f"PreConvDW_{i}"]
+        affs.append(fold_bn(blk["BatchNorm_0"], bst["BatchNorm_0"]))
+        dwks.append(blk["dw_kernel"])
+        # Flax 1x1 conv kernel is (1, 1, Ci, Co) HWIO; the kernel wants
+        # out-channel-major (Co, Ci).
+        pwks.append(blk["Conv_0"]["kernel"][0, 0].T)
+    return (jnp.stack(affs).astype(dtype), jnp.stack(dwks).astype(dtype),
+            jnp.stack(pwks).astype(dtype))
+
+
+def _tower_weights(params: dict, stats: dict, dtype):
+    """fused_tower inputs from a RefinementTower subtree."""
+    entry = params["Conv_0"]["kernel"].astype(dtype)
+    return (entry,) + _dwsep_weights(params, stats, len(TOWER_DILATIONS),
+                                     dtype)
+
+
+def _head_weights(params: dict, stats: dict, dtype):
+    """fused_head inputs from a RefinementHead subtree."""
+    pre = params["PreConv_0"]
+    aff0 = fold_bn(pre["BatchNorm_0"],
+                   stats["PreConv_0"]["BatchNorm_0"]).astype(dtype)
+    dense = pre["Conv_0"]["kernel"].astype(dtype)
+    affs, dwks, pwks = _dwsep_weights(params, stats, len(HEAD_DILATIONS),
+                                      dtype)
+    out_k = params["out_kernel"]  # cast to f32 inside fused_head
+    return aff0, dense, affs, dwks, pwks, out_k
+
+
+def _tower_layers(xc, weights, h, w, interpret):
+    """Per-layer-kernel tower: canvas in, canvas out."""
+    entry, affs, dwks, pwks = weights
+    y = K.fused_dense(xc, entry, dilation=1, h_real=h, w_real=w,
+                      interpret=interpret)
+    for k, d in enumerate(TOWER_DILATIONS):
+        y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
+                          h_real=h, w_real=w, interpret=interpret)
+    return y
+
+
+def _head_layers(xc, weights, h, w, dtype, interpret):
+    aff0, dense, affs, dwks, pwks, out_k = weights
+    y = K.fused_dense(xc, dense, dilation=HEAD_DENSE_DILATION, h_real=h,
+                      w_real=w, affine=aff0, interpret=interpret)
+    for k, d in enumerate(HEAD_DILATIONS):
+        y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
+                          h_real=h, w_real=w, interpret=interpret)
+    # plain 3x3 -> 1 output conv (no BN/ReLU, reference: submodules.py:318-325)
+    return K.fused_dense(y, out_k.astype(dtype), dilation=1, h_real=h,
+                         w_real=w, interpret=interpret)
+
+
+def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
+                    *, dtype=jnp.bfloat16, interpret: bool = False,
+                    mode: str = "layers") -> jnp.ndarray:
+    """The stage-4 refinement residual via the fused Pallas kernels.
+
+    Equals RefinementTower(left) ++ RefinementTower(disp) -> RefinementHead
+    in eval mode (reference: models/models.py:158-162). Inference only: BN
+    uses folded running statistics.
+
+    mode:
+      "layers" — one Pallas kernel per layer (fused_dense / fused_dwsep),
+        canvases round-trip HBM between layers (~36 MB bf16 at 368x1232).
+        Compiles in seconds.
+      "chain"  — whole tower/head in one kernel, activations VMEM-resident
+        (fused_tower / fused_head). Fewer HBM round trips but a multi-minute
+        Mosaic compile at full resolution; use with the persistent
+        compilation cache.
+
+    Args:
+      variables: the full LWSNet {"params", "batch_stats"} tree.
+      left: (B, H, W, 3) normalized image, NHWC.
+      disp: (B, H, W, 1) stage-3 full-res disparity.
+    Returns:
+      (B, H, W, 1) float32 residual (caller adds it to `disp`).
+    """
+    assert mode in ("layers", "chain"), mode
+    p, s = variables["params"], variables["batch_stats"]
+    B, H, W, _ = left.shape
+    xl = jnp.transpose(left.astype(dtype), (0, 3, 1, 2))
+    xd = jnp.transpose(disp.astype(dtype), (0, 3, 1, 2))
+    tw_l = _tower_weights(p["RefinementTower_0"], s["RefinementTower_0"],
+                          dtype)
+    tw_d = _tower_weights(p["RefinementTower_1"], s["RefinementTower_1"],
+                          dtype)
+    hw = _head_weights(p["RefinementHead_0"], s["RefinementHead_0"], dtype)
+
+    if mode == "chain":
+        tower_l = K.fused_tower(xl, *tw_l, dilations=TOWER_DILATIONS,
+                                interpret=interpret)
+        tower_d = K.fused_tower(xd, *tw_d, dilations=TOWER_DILATIONS,
+                                interpret=interpret)
+        cat = jnp.concatenate([tower_l, tower_d], axis=1)
+        res = K.fused_head(cat, *hw, dense_dilation=HEAD_DENSE_DILATION,
+                           dilations=HEAD_DILATIONS, interpret=interpret)
+        return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)
+
+    tower_l = _tower_layers(K.to_canvas(xl), tw_l, H, W, interpret)
+    tower_d = _tower_layers(K.to_canvas(xd), tw_d, H, W, interpret)
+    # canvases share geometry; out-of-image garbage is masked per kernel
+    cat = jnp.concatenate([tower_l, tower_d], axis=1)
+    res = _head_layers(cat, hw, H, W, dtype, interpret)
+    res = K.from_canvas(res, H, W)
+    return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)

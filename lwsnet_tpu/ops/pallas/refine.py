@@ -30,7 +30,9 @@ affine by the caller). Training uses the XLA path in
 
 Numerics: activations stay in the input dtype (bf16 in production); matmuls
 accumulate in f32. The depthwise 9-tap accumulation is in the activation
-dtype, matching the bf16 rounding regime of the XLA path.
+dtype, matching the bf16 rounding regime of the XLA path. f32 activations
+promote the matmuls to Precision.HIGHEST (default MXU precision multiplies
+f32 operands in bf16 passes), so an f32 run matches the XLA path's accuracy.
 """
 
 from __future__ import annotations
@@ -55,6 +57,14 @@ _VMEM_LIMIT = 120 * 1024 * 1024
 
 def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _dot_precision(dt):
+    """Matmul precision by activation dtype: the MXU multiplies f32 operands
+    in bf16 passes at default precision (~0.12 max abs deviation vs a f64
+    oracle at refinement shapes); HIGHEST restores f32-grade accuracy. bf16
+    activations keep the default single-pass bf16 regime."""
+    return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
 
 def to_canvas(x: jnp.ndarray) -> jnp.ndarray:
@@ -123,7 +133,8 @@ def _dwsep_kernel(x_ref, aff_ref, dw_ref, pw_ref, o_ref, scratch,
     # pointwise: (Co, C) x (C, chunk*Wc) on the MXU, f32 accumulation
     out = jax.lax.dot_general(
         pw_ref[:], acc.reshape(C, chunk * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(acc.dtype))
     o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
 
 
@@ -184,7 +195,8 @@ def _dense_stack_kernel(x_ref, aff_ref, kt_ref, o_ref, scratch,
     stack = jnp.concatenate(taps, axis=0)  # (9*C, chunk, Wc) tap-major
     out = jax.lax.dot_general(
         kt_ref[:], stack.reshape(9 * C, chunk * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(stack.dtype))
     o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
 
 
@@ -203,7 +215,8 @@ def _dense_acc_kernel(x_ref, aff_ref, k_ref, o_ref, scratch,
             term = jax.lax.dot_general(
                 k_ref[dy * 3 + dx], sl.reshape(C, chunk * Wc),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(sl.dtype))
             acc = term if acc is None else acc + term
     o_ref[0] = acc.reshape(Co, chunk, Wc).astype(o_ref.dtype)
 
@@ -371,7 +384,8 @@ def _dwsep_step(src, dst, dw_ref, pw_ref, k, d, m, rows_in, Wc, w_real):
     C = acc.shape[0]
     out = jax.lax.dot_general(
         pw_ref[k], acc.reshape(C, rows_out * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_dot_precision(acc.dtype))
     Co = out.shape[0]
     out = out.reshape(Co, rows_out, Wc).astype(dst.dtype)
     dst[:, m + d:m + d + rows_out, _CPAD:_CPAD + w_real] = out[:, :, :w_real]
@@ -430,7 +444,8 @@ def _tower_kernel(x_ref, ek_ref, aff_ref, dw_ref, pw_ref, o_ref,
         stack = jnp.concatenate(taps, axis=0)  # (9*cin, rows_out, Wc)
         out = jax.lax.dot_general(
             ek_ref[:], stack.reshape(9 * cin, rows_out * Wc),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(stack.dtype))
         F = out.shape[0]
         out = out.reshape(F, rows_out, Wc).astype(a_buf.dtype)
         a_buf[:, o0 + 1:o0 + 1 + rows_out,
@@ -511,7 +526,7 @@ def fused_tower(x: jnp.ndarray, entry_kernel: jnp.ndarray,
                           h_real=H, w_real=W, cin=Ci),
         grid=(B, Hc // chunk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -573,7 +588,8 @@ def _head_kernel(x_ref, aff0_ref, k0_ref, aff_ref, dw_ref, pw_ref, fk_ref,
                 term = jax.lax.dot_general(
                     k0_ref[dy * 3 + dx], sl.reshape(cin, rows_out * Wc),
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_dot_precision(sl.dtype))
                 acc = term if acc is None else acc + term
         out = acc.reshape(cmid, rows_out, Wc).astype(a_buf.dtype)
         a_buf[:, o0 + d0:o0 + d0 + rows_out,
@@ -654,7 +670,7 @@ def fused_head(x: jnp.ndarray, affine0: jnp.ndarray, dense_kernel: jnp.ndarray,
                           h_real=H, w_real=W, cin=C2, cmid=F),
         grid=(B, Hc // chunk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

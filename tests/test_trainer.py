@@ -1,0 +1,112 @@
+"""End-to-end Trainer tests on a tiny synthetic KITTI-style corpus.
+
+Covers the full epoch machinery the step-level tests stop short of
+(reference loops: train.py:107-199, finetune.py:122-210): loss decreases over
+`fit`, best-only checkpoints carry the live lr, resume restores
+epoch/error/time, and the epoch->step milestone conversion uses *per-host*
+batch counts (the r1 multi-host schedule bug).
+"""
+
+import logging
+import math
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lwsnet_tpu import ModelConfig, TrainConfig
+from lwsnet_tpu.data.kitti2015 import StereoIndex
+from lwsnet_tpu.data.pipeline import StereoPipeline
+from lwsnet_tpu.training.loop import Trainer, TrainerConfig
+
+H, W = 64, 96           # synthetic image size
+CROP = (32, 64)         # train crop and eval window
+N_EXAMPLES = 16  # batch 8 keeps the global batch divisible by the 8-device mesh
+
+
+def _write_corpus(root) -> StereoIndex:
+    rng = np.random.default_rng(0)
+    lefts, rights, disps = [], [], []
+    for i in range(N_EXAMPLES):
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        # right = left shifted a few px: gives the loss something learnable
+        right = np.roll(img, -3, axis=1)
+        disp = rng.uniform(3.0, 40.0, (H, W)).astype(np.float32)
+        lp, rp, dp = (os.path.join(root, f"{n}_{i}.png")
+                      for n in ("l", "r", "d"))
+        Image.fromarray(img).save(lp)
+        Image.fromarray(right).save(rp)
+        # KITTI GT format: uint16 = disp * 256 (reference: dataloader.py:54-56)
+        Image.fromarray((disp * 256).astype(np.uint16)).save(dp)
+        lefts.append(lp); rights.append(rp); disps.append(dp)
+    return StereoIndex(lefts, rights, disps)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    return _write_corpus(str(root))
+
+
+def _make_trainer(corpus, save_path, milestones=()):
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(
+        lr=1e-3, epochs=2, train_batch_size=8, eval_batch_size=8,
+        lr_milestones=milestones, lr_gamma=0.1, mask_min_disp=0.0,
+        save_path=save_path, log_every=1)
+    train_pipe = StereoPipeline(corpus, 8, training=True, crop=CROP,
+                                kitti=True, num_workers=2)
+    eval_pipe = StereoPipeline(corpus, 8, training=False, crop=CROP,
+                               kitti=True, num_workers=2)
+    log = logging.getLogger("test_trainer")
+    return Trainer(TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+                   train_pipe, eval_pipe, log)
+
+
+def test_fit_learns_checkpoints_and_resumes(corpus, tmp_path):
+    save = str(tmp_path / "run")
+    trainer = _make_trainer(corpus, save, milestones=(1,))
+    assert trainer.steps_per_epoch == 2  # 16 examples / batch 8, PER HOST
+
+    # record every step's loss through a wrapper
+    step_losses = []
+    orig = trainer.train_step
+
+    def spy(state, l, r, g):
+        state, aux = orig(state, l, r, g)
+        step_losses.append(float(aux["loss"]))
+        return state, aux
+
+    trainer.train_step = spy
+    error = trainer.fit(epochs=2)
+
+    assert len(step_losses) == 4 and all(np.isfinite(step_losses))
+    assert step_losses[-1] < step_losses[0], step_losses
+    assert math.isfinite(error)
+    assert int(trainer.state.step) == 4
+
+    # milestone at epoch 1 -> the decay fires at optimizer step 2 = 1 epoch
+    # of PER-HOST batches; trainer.last_lr is the live schedule value.
+    np.testing.assert_allclose(trainer.last_lr, 1e-4, rtol=1e-6)
+
+    # best-only checkpoint exists and a fresh trainer resumes from it
+    # (the checkpoint holds the BEST epoch's state, which need not be the
+    # final one, so compare against the fresh init instead of trainer.state)
+    import jax
+    trainer2 = _make_trainer(corpus, save, milestones=(1,))
+    trainer2.init_state()
+    fresh = np.asarray(jax.tree.leaves(trainer2.state.params)[0]).copy()
+    assert trainer2.resume()
+    assert trainer2.start_epoch >= 1
+    assert trainer2.best_error == trainer.best_error
+    restored = np.asarray(jax.tree.leaves(trainer2.state.params)[0])
+    assert not np.array_equal(fresh, restored)  # trained params were loaded
+    assert int(trainer2.state.step) >= trainer.steps_per_epoch
+
+
+def test_evaluate_runs_standalone(corpus, tmp_path):
+    trainer = _make_trainer(corpus, str(tmp_path / "run2"))
+    trainer.init_state()
+    err = trainer.evaluate()  # --evaluate mode (reference: finetune.py:115-117)
+    assert math.isfinite(err) and err >= 0.0
