@@ -101,8 +101,17 @@ def main() -> None:
             print(f"devices={n:2d}: {eff:6.1f} %")
 
     with open("scaling_sweep.json", "w") as f:
-        json.dump([{"devices": n, "step_ms": dt * 1000, "frames_per_s": fps}
-                   for n, dt, fps in results], f, indent=2)
+        json.dump({
+            "backend": jax.default_backend(),
+            "note": ("virtual CPU meshes share one host's cores: a program/"
+                     "sharding validation, NOT a hardware scaling number"
+                     if jax.default_backend() == "cpu" else
+                     "real-device weak scaling"),
+            "height": h, "width": w,
+            "per_device_batch": args.per_device_batch,
+            "points": [{"devices": n, "step_ms": dt * 1000,
+                        "frames_per_s": fps} for n, dt, fps in results],
+        }, f, indent=2)
     print("wrote scaling_sweep.json")
 
 

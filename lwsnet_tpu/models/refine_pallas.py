@@ -73,27 +73,40 @@ def _head_weights(params: dict, stats: dict, dtype):
     return aff0, dense, affs, dwks, pwks, out_k
 
 
-def _tower_layers(xc, weights, h, w, interpret):
-    """Per-layer-kernel tower: canvas in, canvas out."""
+def _tower_layers(xc, weights, chunk, h, w, interpret):
+    """Per-layer-kernel tower: layer canvas in, layer canvas out."""
     entry, affs, dwks, pwks = weights
-    y = K.fused_dense(xc, entry, dilation=1, h_real=h, w_real=w,
+    y = K.fused_dense(xc, entry, dilation=1, chunk=chunk, h_real=h, w_real=w,
                       interpret=interpret)
     for k, d in enumerate(TOWER_DILATIONS):
         y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
-                          h_real=h, w_real=w, interpret=interpret)
+                          chunk=chunk, h_real=h, w_real=w,
+                          interpret=interpret)
     return y
 
 
-def _head_layers(xc, weights, h, w, dtype, interpret):
+def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
+    """Head on the two tower canvases. The 64-channel entry conv is split
+    into two 32-channel halves summed — exact math
+    (conv(concat(a, b)) = conv_a(a) + conv_b(b)) that keeps every kernel at
+    <=32 channels, so the whole chain shares one large chunk without
+    blowing VMEM (the 64ch variant OOM'd at 151M/128M on v5e)."""
     aff0, dense, affs, dwks, pwks, out_k = weights
-    y = K.fused_dense(xc, dense, dilation=HEAD_DENSE_DILATION, h_real=h,
-                      w_real=w, affine=aff0, interpret=interpret)
+    F = tower_l.shape[1]
+    y = K.fused_dense(tower_l, dense[:, :, :F], dilation=HEAD_DENSE_DILATION,
+                      chunk=chunk, h_real=h, w_real=w, affine=aff0[:, :F],
+                      interpret=interpret)
+    y = y + K.fused_dense(tower_d, dense[:, :, F:],
+                          dilation=HEAD_DENSE_DILATION, chunk=chunk,
+                          h_real=h, w_real=w, affine=aff0[:, F:],
+                          interpret=interpret)
     for k, d in enumerate(HEAD_DILATIONS):
         y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
-                          h_real=h, w_real=w, interpret=interpret)
+                          chunk=chunk, h_real=h, w_real=w,
+                          interpret=interpret)
     # plain 3x3 -> 1 output conv (no BN/ReLU, reference: submodules.py:318-325)
-    return K.fused_dense(y, out_k.astype(dtype), dilation=1, h_real=h,
-                         w_real=w, interpret=interpret)
+    return K.fused_dense(y, out_k.astype(dtype), dilation=1, chunk=chunk,
+                         h_real=h, w_real=w, interpret=interpret)
 
 
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
@@ -142,10 +155,13 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                            dilations=HEAD_DILATIONS, interpret=interpret)
         return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)
 
-    tower_l = _tower_layers(K.to_canvas(xl), tw_l, H, W, interpret)
-    tower_d = _tower_layers(K.to_canvas(xd), tw_d, H, W, interpret)
-    # canvases share geometry; out-of-image garbage is masked per kernel
-    cat = jnp.concatenate([tower_l, tower_d], axis=1)
-    res = _head_layers(cat, hw, H, W, dtype, interpret)
-    res = K.from_canvas(res, H, W)
+    # one chunk for the whole chain; the head's 64ch conv is split into two
+    # 32ch halves (see _head_layers), so F=32 is the widest kernel.
+    chunk = K.pick_layer_chunk(H, W, tw_l[3].shape[1])
+    tower_l = _tower_layers(K.layer_canvas(xl, chunk), tw_l, chunk, H, W,
+                            interpret)
+    tower_d = _tower_layers(K.layer_canvas(xd, chunk), tw_d, chunk, H, W,
+                            interpret)
+    res = _head_layers(tower_l, tower_d, hw, chunk, H, W, dtype, interpret)
+    res = K.layer_uncanvas(res, chunk, H, W)
     return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)

@@ -6,23 +6,26 @@ of BN + ReLU + depthwise-dilated-3x3 + pointwise-1x1 layers over
 128, so every one of the ~10 layers pays 4x-inflated HBM round trips;
 measured ~14 ms of the 21 ms forward on a v5e. These kernels run the layers
 in a *planar* (C, H, W) layout — W on the 128-lane axis, H on sublanes —
-with the input image resident in VMEM (v5e has ~128 MB) and the output
-row-blocked over the grid so Mosaic pipelines the writes.
+row-blocked over the grid with halos streamed through Mosaic's own block
+pipeline (three shifted views of the same canvas), so reads, compute, and
+writes overlap without hand-written DMA.
 
 Canvas contract: all kernels take/return (B, C, Hc, Wc) planar "canvas"
-arrays built by `to_canvas`: rows padded by _PAD=40 on top and bottom,
-columns 128-lane aligned. Canvas rows/columns outside the
-real (h_real, w_real) image may hold GARBAGE: every kernel masks the rows it
-loads against the real-image bounds and zero-pads columns in scratch, so
-garbage never propagates — it only ever occupies out-of-image positions.
-Crop once at stage exit with `from_canvas`. The 128-aligned width lets Mosaic
-merge (C, rows, Wc) -> (C, rows*Wc) as a no-op shape cast for the pointwise
-matmuls.
+arrays built by `layer_canvas(x, chunk)`: top pad = one chunk of rows,
+height padded to (ceil(H/chunk) + 2) * chunk, columns 128-lane aligned.
+Canvas rows/columns outside the real (h_real, w_real) image may hold
+GARBAGE: every kernel zero-masks the window it loads against the real-image
+bounds, so garbage never propagates — it only ever occupies out-of-image
+positions. Crop once at stage exit with `layer_uncanvas`. The 128-aligned
+width lets Mosaic merge (C, rows, Wc) -> (C, rows*Wc) as a no-op shape cast
+for the pointwise matmuls.
 
 Compile-time note: row chunks are a GRID dimension, not an in-kernel loop —
 an unrolled per-chunk loop of 9 lane-unaligned shifts made Mosaic's compile
-time explode (>9 min); as a grid the body compiles once and the input block
-(constant index_map) stays resident across steps.
+time explode (>9 min); as a grid the body compiles once. Grid-step overhead
+is real (~20 us/step): the per-layer kernels DMA row windows from an
+HBM-resident input precisely so the chunk (and thus step count) is limited
+by the window buffer, not by a whole-canvas VMEM block.
 
 All kernels implement inference semantics (BatchNorm folded to a per-channel
 affine by the caller). Training uses the XLA path in
@@ -45,13 +48,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Canvas row padding. Must satisfy, for chunk c <= 16 and dilation d <= 16:
-#   top:    _PAD >= d + 7           (aligned window start never clips)
-#   bottom: _PAD >= (c-1) + d + 8   (aligned window end never clips)
-# so windows of real-row blocks are never clipped/misaligned; clipping then
-# only affects blocks whose output is entirely canvas padding (don't-care).
-_PAD = 40
-
 _VMEM_LIMIT = 120 * 1024 * 1024
 
 
@@ -67,248 +63,294 @@ def _dot_precision(dt):
     return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
 
-def to_canvas(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, C, H, W) planar -> canvas: rows padded by _PAD, W lane-aligned."""
-    W = x.shape[-1]
-    wp = -(-W // 128) * 128
-    return jnp.pad(x, ((0, 0), (0, 0), (_PAD, _PAD), (0, wp - W)))
+# ---------------------------------------------------------------------------
+# Per-layer kernels: ONE Pallas call per refinement layer on a "layer
+# canvas" (`layer_canvas`: top pad = one chunk of rows, height padded to
+# (ceil(H/chunk) + 2) * chunk, width 128-lane aligned). The grid tiles
+# output rows in chunk-row blocks; blocks 0 and nb-1 are pure padding and
+# write zeros. Interior block i assembles the halo'd row window
+#     [i*chunk - T8, i*chunk + chunk + T8)        T8 = round8(dilation)
+# from THREE shifted block views of the same canvas (prev/cur/next row
+# blocks) that Mosaic's block pipeline streams and double-buffers — design
+# history on v5e at 368x1232, per dw-sep layer: whole-canvas-in-VMEM blocks
+# 0.97 ms (VMEM-capped chunk), hand-rolled serial window DMA 0.65 ms
+# (latency floor), dynamic-slot double buffering 3.3 ms (dynamic VMEM
+# addressing), vs 0.06 ms for a pure Mosaic-pipelined stream — hence this
+# formulation. The window is zeroed/activated as a value (out-of-image rows
+# and columns become 0 — the conv's zero padding must surround *activated*
+# values, reference: models/submodules.py:238-259), then 9 static tap slices
+# feed the VPU/MXU.
+# ---------------------------------------------------------------------------
 
 
-def from_canvas(x: jnp.ndarray, h_real: int, w_real: int) -> jnp.ndarray:
-    """Crop a canvas back to the real (B, C, h_real, w_real) image."""
-    return x[:, :, _PAD:_PAD + h_real, :w_real]
+def layer_canvas(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """(B, C, H, W) planar -> layer canvas for `fused_dwsep`/`fused_dense`."""
+    return _chain_canvas(x, chunk)[0]
 
 
-def _pick_chunk(hc: int) -> int:
-    for c in (16, 8):
-        if hc % c == 0:
-            return c
-    raise ValueError(f"canvas height {hc} not divisible by 8")
+def layer_uncanvas(x: jnp.ndarray, chunk: int, h_real: int,
+                   w_real: int) -> jnp.ndarray:
+    """Crop a layer canvas back to the real (B, C, h_real, w_real) image."""
+    return x[:, :, chunk:chunk + h_real, :w_real]
 
 
-def _load_window(x_ref, scratch, i, chunk, d, h_real, w_real, aff_ref):
-    """Fill `scratch` (C, chunk+2d, Wc+2d) with the input rows feeding output
-    block i: [i*chunk - d, i*chunk + chunk + d) in canvas coordinates, clamped
-    into range (misalignment only happens for pure-pad blocks whose output is
-    don't-care). Rows outside the real image and the +-d column borders are
-    zeroed — the conv's zero padding must surround *activated* values
-    (reference: models/submodules.py:238-259 applies BN+ReLU before the
-    padded conv); BN-affine + ReLU is applied here when `aff_ref` is given.
-    """
-    _, C, Hc, Wc = x_ref.shape
-    win = chunk + 2 * d
-    # Mosaic requires dynamic sublane offsets provably 8-aligned. i*chunk is a
-    # multiple of 8 and d is static, so the raw offset i*chunk - d has the
-    # static residue s0 = (-d) % 8: read an 8-aligned window (win + 8 rows)
-    # and shave the residue with a static slice.
-    s0 = (-d) % 8
-    ub = ((Hc - (win + 8)) // 8) * 8
-    al = jnp.clip(i * chunk - d - s0, 0, ub)
-    al = pl.multiple_of(al, 8)
-    window = x_ref[0, :, pl.ds(al, win + 8), :]
-    rows = window[:, s0:s0 + win, :w_real]
+def pick_layer_chunk(h: int, w: int, max_channels: int,
+                     dtype_bytes: int = 2,
+                     budget: int = 80 * 1024 * 1024) -> int:
+    """Largest row chunk whose window buffer + double-buffered output blocks
+    fit VMEM. All layers of a chain share one chunk (the canvas geometry is
+    chunk-dependent), so size for the widest layer's channel count."""
+    wc = -(-w // 128) * 128
+    for chunk in (192, 160, 128, 96, 64, 48, 32, 16):
+        # 3 input streams x 2 buffering levels + double-buffered output +
+        # window value + tap accumulator (f32) + headroom: ~14 block sizes
+        # (the 8x estimate OOM'd at 151M/128M for 64ch/chunk 64 on v5e).
+        blocks = 14 * max_channels * chunk * wc * dtype_bytes
+        if blocks <= 100 * 1024 * 1024:
+            return chunk
+    raise ValueError("no layer chunk fits VMEM")
+
+
+def _window_value(prev_ref, cur_ref, nxt_ref, i, chunk, T8, d, h_real,
+                  w_real, aff_ref):
+    """Assemble block i's activated input window as a VALUE from the three
+    Mosaic-pipelined input blocks (rows [i*chunk - T8, i*chunk + chunk + T8)),
+    zeroing out-of-image rows/columns and applying BN-affine + ReLU when
+    `aff_ref` ((2, C, 1, Wc)) is given; columns get +-d zero margins for the
+    dilated taps. Returns (C, chunk + 2*T8, Wc + 2*d)."""
+    Wc = cur_ref.shape[3]
+    w = jnp.concatenate([prev_ref[0, :, chunk - T8:, :], cur_ref[0],
+                         nxt_ref[0, :, :T8, :]], axis=1)
     if aff_ref is not None:
-        rows = jnp.maximum(rows * aff_ref[0, :, :, :w_real]
-                           + aff_ref[1, :, :, :w_real], 0)
-    g = jax.lax.broadcasted_iota(jnp.int32, (win, w_real), 0) + (al + s0)
-    mask = (g >= _PAD) & (g < _PAD + h_real)
-    rows = jnp.where(mask, rows, 0).astype(scratch.dtype)
-    scratch[:] = jnp.zeros(scratch.shape, scratch.dtype)
-    scratch[:, :, d:d + w_real] = rows
-    return scratch
+        w = jnp.maximum(w * aff_ref[0] + aff_ref[1], 0)
+    R = chunk + 2 * T8
+    base = i * chunk - T8  # canvas row of window row 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, Wc), 0) + base
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, Wc), 1)
+    mask = (rows >= chunk) & (rows < chunk + h_real) & (cols < w_real)
+    w = jnp.where(mask, w, 0).astype(cur_ref.dtype)
+    return jnp.pad(w, ((0, 0), (0, 0), (d, d)))
 
 
-def _dwsep_kernel(x_ref, aff_ref, dw_ref, pw_ref, o_ref, scratch,
-                  *, d, chunk, h_real, w_real):
+def _taps(w, d, chunk, T8, Wc):
+    """The 9 dilated-3x3 tap views of an assembled window, each
+    (C, chunk, Wc) aligned to the output block rows."""
+    m = T8 - d
+    return [w[:, m + dy * d:m + dy * d + chunk,
+              d + (dx - 1) * d:d + (dx - 1) * d + Wc]
+            for dy in range(3) for dx in range(3)]
+
+
+def _layer_step(i_refs, o_ref, chunk, T8, d, h_real, w_real, aff_ref,
+                compute):
+    """Grid-step scaffolding shared by the per-layer kernels: pad blocks
+    (first/last) write zeros; interior blocks assemble the activated window
+    and run `compute(window)`. All data movement is Mosaic's own block
+    pipeline — a manual DMA version of these kernels measured a ~0.2 ms/layer
+    latency floor that the pipelined block fetches don't pay."""
     i = pl.program_id(1)
-    _, C, Hc, Wc = x_ref.shape
-    Co = pw_ref.shape[0]
-    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real, aff_ref)
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
-            term = sl * dw_ref[dy * 3 + dx]
+    nb = pl.num_programs(1)
+
+    @pl.when((i == 0) | (i == nb - 1))
+    def _():
+        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    @pl.when((i > 0) & (i < nb - 1))
+    def _():
+        compute(_window_value(*i_refs, i, chunk, T8, d, h_real, w_real,
+                              aff_ref))
+
+
+def _in_specs(C, chunk, Wc, nb):
+    """prev/cur/next row-block views of the SAME canvas, clamped at the
+    edges (the first/last blocks' outputs are pad, so their windows are
+    don't-care; `nb` is the static block count)."""
+    def at(off):
+        if off < 0:
+            return lambda b, i: (b, 0, jnp.maximum(i + off, 0), 0)
+        if off > 0:
+            return lambda b, i: (b, 0, jnp.minimum(i + off, nb - 1), 0)
+        return lambda b, i: (b, 0, i, 0)
+    return [pl.BlockSpec((1, C, chunk, Wc), at(off),
+                         memory_space=pltpu.VMEM)
+            for off in (-1, 0, 1)]
+
+
+def _dwsep_layer_kernel(p_ref, c_ref, n_ref, aff_ref, dw_ref, pw_ref, o_ref,
+                        *, d, chunk, T8, h_real, w_real):
+    Wc = o_ref.shape[3]
+
+    def compute(w):
+        acc = None
+        for t, sl in enumerate(_taps(w, d, chunk, T8, Wc)):
+            term = sl * dw_ref[t]
             acc = term if acc is None else acc + term
-    # pointwise: (Co, C) x (C, chunk*Wc) on the MXU, f32 accumulation
-    out = jax.lax.dot_general(
-        pw_ref[:], acc.reshape(C, chunk * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(acc.dtype))
-    o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+        C = acc.shape[0]
+        out = jax.lax.dot_general(
+            pw_ref[:], acc.reshape(C, chunk * Wc), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(acc.dtype))
+        o_ref[0] = out.reshape(-1, chunk, Wc).astype(o_ref.dtype)
+
+    _layer_step((p_ref, c_ref, n_ref), o_ref, chunk, T8, d, h_real, w_real,
+                aff_ref, compute)
 
 
 def fused_dwsep(x: jnp.ndarray, affine: jnp.ndarray,
                 dwk: jnp.ndarray, pwk: jnp.ndarray, *, dilation: int,
-                h_real: int, w_real: int,
+                chunk: int, h_real: int, w_real: int,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused BN-affine + ReLU + depthwise 3x3 (dilated) + pointwise 1x1.
 
     Args:
-      x: (B, C, Hc, Wc) canvas (see module docstring).
-      affine: (2, C) folded BN (scale', shift') in x.dtype.
-      dwk: (3, 3, 1, C) HWIO depthwise taps in x.dtype.
-      pwk: (Co, C) pointwise weights in x.dtype.
+      x: (B, C, Hc, Wc) layer canvas (see `layer_canvas`, same `chunk`).
+      affine: (2, C) folded BN (scale', shift').
+      dwk: (3, 3, 1, C) HWIO depthwise taps.
+      pwk: (Co, C) pointwise weights.
       h_real, w_real: true image size.
     Returns:
-      (B, Co, Hc, Wc) canvas.
+      (B, Co, Hc, Wc) layer canvas.
     """
     B, C, Hc, Wc = x.shape
     Co = pwk.shape[0]
     d = dilation
-    chunk = _pick_chunk(Hc)
+    T8 = _round8(d)
+    assert chunk >= T8 and Hc % chunk == 0, (chunk, T8, Hc)
     # Mosaic cannot broadcast (C,1,1) over both sublanes and lanes; ship the
     # per-channel vectors pre-broadcast along W (sublane-only broadcast left).
     aff = jnp.broadcast_to(affine.reshape(2, C, 1, 1), (2, C, 1, Wc))
     dwt = jnp.broadcast_to(dwk.reshape(9, C)[:, :, None, None], (9, C, 1, Wc))
     return pl.pallas_call(
-        functools.partial(_dwsep_kernel, d=d, chunk=chunk,
+        functools.partial(_dwsep_layer_kernel, d=d, chunk=chunk, T8=T8,
                           h_real=h_real, w_real=w_real),
         grid=(B, Hc // chunk),
-        in_specs=[
-            pl.BlockSpec((1, C, Hc, Wc), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_in_specs(C, chunk, Wc, Hc // chunk) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Co, chunk, Wc),
-                               lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, Co, chunk, Wc), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), x.dtype),
-        scratch_shapes=[pltpu.VMEM((C, chunk + 2 * d, Wc + 2 * d), x.dtype)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(x, aff, dwt, pwk)
+    )(x, x, x, aff, dwt, pwk)
 
 
-def _dense_stack_kernel(x_ref, aff_ref, kt_ref, o_ref, scratch,
-                        *, d, chunk, h_real, w_real, has_aff):
-    """Dense conv for small Ci: im2col tap-stack in VMEM + one matmul."""
-    i = pl.program_id(1)
-    _, C, Hc, Wc = x_ref.shape
-    Co = kt_ref.shape[0]
-    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
-                     aff_ref if has_aff else None)
-    taps = [s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
-            for dy in range(3) for dx in range(3)]
-    stack = jnp.concatenate(taps, axis=0)  # (9*C, chunk, Wc) tap-major
-    out = jax.lax.dot_general(
-        kt_ref[:], stack.reshape(9 * C, chunk * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(stack.dtype))
-    o_ref[0] = out.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+def _dense_stack_layer_kernel(p_ref, c_ref, n_ref, aff_ref, kt_ref, o_ref,
+                              *, d, chunk, T8, h_real, w_real, has_aff):
+    """Dense conv for small Ci: im2col tap-stack + one matmul."""
+    Wc = o_ref.shape[3]
+
+    def compute(w):
+        stack = jnp.concatenate(_taps(w, d, chunk, T8, Wc), axis=0)
+        C9 = stack.shape[0]
+        out = jax.lax.dot_general(
+            kt_ref[:], stack.reshape(C9, chunk * Wc), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(stack.dtype))
+        o_ref[0] = out.reshape(-1, chunk, Wc).astype(o_ref.dtype)
+
+    _layer_step((p_ref, c_ref, n_ref), o_ref, chunk, T8, d, h_real, w_real,
+                aff_ref if has_aff else None, compute)
 
 
-def _dense_acc_kernel(x_ref, aff_ref, k_ref, o_ref, scratch,
-                      *, d, chunk, h_real, w_real, has_aff):
+def _dense_acc_layer_kernel(p_ref, c_ref, n_ref, aff_ref, k_ref, o_ref,
+                            *, d, chunk, T8, h_real, w_real, has_aff):
     """Dense conv for wide Ci: 9 per-tap matmuls with f32 accumulation."""
-    i = pl.program_id(1)
-    _, C, Hc, Wc = x_ref.shape
-    Co = k_ref.shape[1]
-    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
-                     aff_ref if has_aff else None)
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+    Wc = o_ref.shape[3]
+
+    def compute(w):
+        acc = None
+        for t, sl in enumerate(_taps(w, d, chunk, T8, Wc)):
+            C = sl.shape[0]
             term = jax.lax.dot_general(
-                k_ref[dy * 3 + dx], sl.reshape(C, chunk * Wc),
-                (((1,), (0,)), ((), ())),
+                k_ref[t], sl.reshape(C, chunk * Wc), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_dot_precision(sl.dtype))
             acc = term if acc is None else acc + term
-    o_ref[0] = acc.reshape(Co, chunk, Wc).astype(o_ref.dtype)
+        o_ref[0] = acc.reshape(-1, chunk, Wc).astype(o_ref.dtype)
+
+    _layer_step((p_ref, c_ref, n_ref), o_ref, chunk, T8, d, h_real, w_real,
+                aff_ref if has_aff else None, compute)
 
 
-def _dense_vpu_kernel(x_ref, aff_ref, k_ref, o_ref, scratch,
-                      *, d, chunk, h_real, w_real, has_aff, cin):
+def _dense_vpu_layer_kernel(p_ref, c_ref, n_ref, aff_ref, k_ref, o_ref,
+                            *, d, chunk, T8, h_real, w_real, has_aff, cin):
     """Dense conv for Co == 1: 9*Ci scalar FMAs on the VPU (MXU with M=1 is
-    ~0.25% utilized; the VPU does this in ~0.1 ms at full res)."""
-    i = pl.program_id(1)
-    _, C, Hc, Wc = x_ref.shape
-    s = _load_window(x_ref, scratch, i, chunk, d, h_real, w_real,
-                     aff_ref if has_aff else None)
-    acc = jnp.zeros((chunk, Wc), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            sl = s[:, dy * d:dy * d + chunk, dx * d:dx * d + Wc]
+    ~0.25% utilized)."""
+    Wc = o_ref.shape[3]
+
+    def compute(w):
+        acc = jnp.zeros((chunk, Wc), jnp.float32)
+        for t, sl in enumerate(_taps(w, d, chunk, T8, Wc)):
             for ci in range(cin):
-                acc = acc + sl[ci].astype(jnp.float32) * k_ref[ci, dy * 3 + dx]
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+                acc = acc + sl[ci].astype(jnp.float32) * k_ref[ci, t]
+        o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+    _layer_step((p_ref, c_ref, n_ref), o_ref, chunk, T8, d, h_real, w_real,
+                aff_ref if has_aff else None, compute)
 
 
 def fused_dense(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
-                h_real: int, w_real: int,
+                chunk: int, h_real: int, w_real: int,
                 affine: Optional[jnp.ndarray] = None,
                 interpret: bool = False) -> jnp.ndarray:
-    """Fused [BN-affine + ReLU +] dense 3x3 (dilated) conv, canvas layout.
+    """Fused [BN-affine + ReLU +] dense 3x3 (dilated) conv, layer canvas.
 
     Strategy by shape: Co == 1 -> VPU shift-add; 9*Ci <= 48 -> im2col
     tap-stack + single matmul; else per-tap matmul accumulation.
 
     Args:
-      x: (B, Ci, Hc, Wc) canvas.
-      kernel: (3, 3, Ci, Co) HWIO (cross-correlation), x.dtype.
+      x: (B, Ci, Hc, Wc) layer canvas (see `layer_canvas`, same `chunk`).
+      kernel: (3, 3, Ci, Co) HWIO (cross-correlation).
       affine: optional (2, Ci) folded BN; None = plain conv.
       h_real, w_real: true image size.
     Returns:
-      (B, Co, Hc, Wc) canvas.
+      (B, Co, Hc, Wc) layer canvas.
     """
     B, C, Hc, Wc = x.shape
     Co = kernel.shape[-1]
     d = dilation
-    chunk = _pick_chunk(Hc)
+    T8 = _round8(d)
+    assert chunk >= T8 and Hc % chunk == 0, (chunk, T8, Hc)
     has_aff = affine is not None
     aff = (jnp.broadcast_to(affine.reshape(2, C, 1, 1), (2, C, 1, Wc))
            if has_aff
-           else jnp.zeros((2, C, 1, 1), x.dtype))  # placeholder, unused
+           else jnp.zeros((2, C, 1, Wc), x.dtype))  # placeholder, unused
 
-    kw = dict(d=d, chunk=chunk, h_real=h_real, w_real=w_real, has_aff=has_aff)
+    kw = dict(d=d, chunk=chunk, T8=T8, h_real=h_real, w_real=w_real,
+              has_aff=has_aff)
     if Co == 1:
-        body = functools.partial(_dense_vpu_kernel, cin=C, **kw)
+        body = functools.partial(_dense_vpu_layer_kernel, cin=C, **kw)
         # (Ci, 9) scalar table in SMEM
         kt = jnp.transpose(kernel[..., 0], (2, 0, 1)).reshape(C, 9)
         kt = kt.astype(jnp.float32)
         k_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     elif 9 * C <= 48:
-        body = functools.partial(_dense_stack_kernel, **kw)
+        body = functools.partial(_dense_stack_layer_kernel, **kw)
         # (Co, 9*Ci) with column order (dy, dx, ci) — matches the tap-major
         # concat in the kernel
         kt = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(Co, 9 * C)
         k_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     else:
-        body = functools.partial(_dense_acc_kernel, **kw)
+        body = functools.partial(_dense_acc_layer_kernel, **kw)
         kt = jnp.transpose(kernel, (0, 1, 3, 2)).reshape(9, Co, C)
         k_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         body,
         grid=(B, Hc // chunk),
-        in_specs=[
-            pl.BlockSpec((1, C, Hc, Wc), lambda b, i: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_in_specs(C, chunk, Wc, Hc // chunk) + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             k_spec,
         ],
-        out_specs=pl.BlockSpec((1, Co, chunk, Wc),
-                               lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, Co, chunk, Wc), lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), x.dtype),
-        scratch_shapes=[pltpu.VMEM((C, chunk + 2 * d, Wc + 2 * d), x.dtype)],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(x, aff, kt)
-
-
-def vmem_budget_ok(shape, dtype_bytes: int = 2) -> bool:
-    """True when a (B, C, H, W) planar layer fits the image-in-VMEM scheme:
-    input block + output blocks + chunk temps well under ~128 MB v5e VMEM."""
-    _, C, H, W = shape
-    w_pad = -(-W // 128) * 128
-    per_image = C * (H + 2 * _PAD) * w_pad * dtype_bytes
-    return per_image < 72 * 1024 * 1024
-
+    )(x, x, x, aff, kt)
 
 
 # ---------------------------------------------------------------------------

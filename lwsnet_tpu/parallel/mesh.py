@@ -55,17 +55,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any, cfg: MeshConfig = MeshConfig()) -> Any:
-    """Device-put a host-local batch pytree with batch-axis sharding.
+    """Device-put a host-local batch pytree with batch sharded on `data`
+    and, when the mesh has a non-trivial `spatial` axis, image rows (dim 1
+    of any rank>=3 array) sharded on `spatial` — GSPMD inserts the conv halo
+    exchanges; the full-res refinement stage is the intended beneficiary
+    (SURVEY.md §2.3: spatial sharding is new design, absent in the
+    reference).
 
     Single-process: a plain sharded device_put. Multi-host: assembles the
     global array from per-process local shards.
     """
-    sh = batch_sharding(mesh, cfg)
+    spatial = (cfg.spatial_axis
+               if dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                   cfg.spatial_axis, 1) > 1 else None)
 
     def put(x):
         x = np.asarray(x)
-        spec = P(cfg.data_axis) if x.ndim == 1 else P(
-            cfg.data_axis, *([None] * (x.ndim - 1)))
+        if x.ndim >= 3:  # (B, H, ...) images / GT: rows on `spatial`
+            spec = P(cfg.data_axis, spatial, *([None] * (x.ndim - 2)))
+        elif x.ndim >= 1:
+            spec = P(cfg.data_axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
         s = NamedSharding(mesh, spec)
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(s, x)

@@ -81,9 +81,10 @@ def _unplanar(x):
     return jnp.transpose(x, (0, 2, 3, 1))
 
 
-def test_fused_dwsep_parity(rng):
+@pytest.mark.parametrize("chunk", [16, 48])
+def test_fused_dwsep_parity(rng, chunk):
     """Per-layer kernel vs the jnp oracle: BN-affine + ReLU + depthwise
-    dilated 3x3 + pointwise 1x1."""
+    dilated 3x3 + pointwise 1x1, across chunk sizes (grid geometries)."""
     C, Co, d = 8, 16, 4
     x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
     a = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
@@ -95,10 +96,10 @@ def test_fused_dwsep_parity(rng):
     dw = blocks.dw_conv_shift_add(act, dwk, d)
     want = jnp.einsum("bhwc,oc->bhwo", dw, pwk)
 
-    xc = K.to_canvas(_planar(x))
+    xc = K.layer_canvas(_planar(x), chunk)
     out = K.fused_dwsep(xc, jnp.stack([a, b]), dwk, pwk, dilation=d,
-                        h_real=H, w_real=W, interpret=True)
-    got = _unplanar(K.from_canvas(out, H, W))
+                        chunk=chunk, h_real=H, w_real=W, interpret=True)
+    got = _unplanar(K.layer_uncanvas(out, chunk, H, W))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
@@ -109,7 +110,7 @@ def test_fused_dwsep_parity(rng):
     (32, 1, True),    # VPU Co==1 branch (output conv shape)
 ])
 def test_fused_dense_parity(rng, ci, co, affine):
-    d = 2
+    d, chunk = 2, 16
     x = jnp.asarray(rng.standard_normal((1, H, W, ci)), jnp.float32)
     kern = jnp.asarray(rng.standard_normal((3, 3, ci, co)), jnp.float32)
     if affine:
@@ -121,9 +122,9 @@ def test_fused_dense_parity(rng, ci, co, affine):
         act, aff = x, None
     want = blocks.conv3x3_shift_mm(act, kern, dilation=d)
 
-    xc = K.to_canvas(_planar(x))
-    out = K.fused_dense(xc, kern, dilation=d, h_real=H, w_real=W,
-                        affine=aff, interpret=True)
-    got = _unplanar(K.from_canvas(out, H, W))
+    xc = K.layer_canvas(_planar(x), chunk)
+    out = K.fused_dense(xc, kern, dilation=d, chunk=chunk, h_real=H,
+                        w_real=W, affine=aff, interpret=True)
+    got = _unplanar(K.layer_uncanvas(out, chunk, H, W))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)

@@ -152,6 +152,31 @@ def test_dp_matches_single_device(setup):
                                    atol=2.5e-3)
 
 
+def test_spatial_sharding_matches_data_parallel(setup):
+    """A 4x2 data x spatial mesh (image rows sharded; GSPMD halo exchanges)
+    must reproduce the pure-DP step."""
+    model, tcfg, state0 = setup
+    step = make_train_step(model, tcfg, steps_per_epoch=10, donate=False)
+    l, r, g = synth_batch(3)
+    batch = {"l": np.asarray(l), "r": np.asarray(r), "g": np.asarray(g)}
+
+    mcfg_dp = MeshConfig()
+    mesh_dp = mesh_lib.make_mesh(mcfg_dp)
+    sh_dp = mesh_lib.shard_batch(mesh_dp, batch, mcfg_dp)
+    _, aux_dp = step(mesh_lib.replicate_state(mesh_dp, state0),
+                     sh_dp["l"], sh_dp["r"], sh_dp["g"])
+
+    mcfg_sp = MeshConfig(spatial_parallel=2)
+    mesh_sp = mesh_lib.make_mesh(mcfg_sp)
+    sh_sp = mesh_lib.shard_batch(mesh_sp, batch, mcfg_sp)
+    assert sh_sp["l"].sharding.spec == ("data", "spatial", None, None)
+    _, aux_sp = step(mesh_lib.replicate_state(mesh_sp, state0),
+                     sh_sp["l"], sh_sp["r"], sh_sp["g"])
+
+    np.testing.assert_allclose(float(aux_dp["loss"]), float(aux_sp["loss"]),
+                               rtol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)
