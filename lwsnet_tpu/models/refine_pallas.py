@@ -73,16 +73,35 @@ def _head_weights(params: dict, stats: dict, dtype):
     return aff0, dense, affs, dwks, pwks, out_k
 
 
+def _dwsep_chain(y, affs, dwks, pwks, dilations, chunk, h, w, interpret):
+    """Run a dw-sep chain, fusing consecutive layers pairwise when the
+    combined halo fits the chunk (one kernel per pair: the intermediate
+    activation never leaves VMEM, halving HBM round trips)."""
+    k = 0
+    while k < len(dilations):
+        d1 = dilations[k]
+        if k + 1 < len(dilations) and chunk >= -(-(d1 + dilations[k + 1]) // 8) * 8:
+            d2 = dilations[k + 1]
+            y = K.fused_dwsep2(y, affs[k], dwks[k], pwks[k],
+                               affs[k + 1], dwks[k + 1], pwks[k + 1],
+                               dilation1=d1, dilation2=d2, chunk=chunk,
+                               h_real=h, w_real=w, interpret=interpret)
+            k += 2
+        else:
+            y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d1,
+                              chunk=chunk, h_real=h, w_real=w,
+                              interpret=interpret)
+            k += 1
+    return y
+
+
 def _tower_layers(xc, weights, chunk, h, w, interpret):
     """Per-layer-kernel tower: layer canvas in, layer canvas out."""
     entry, affs, dwks, pwks = weights
     y = K.fused_dense(xc, entry, dilation=1, chunk=chunk, h_real=h, w_real=w,
                       interpret=interpret)
-    for k, d in enumerate(TOWER_DILATIONS):
-        y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
-                          chunk=chunk, h_real=h, w_real=w,
-                          interpret=interpret)
-    return y
+    return _dwsep_chain(y, affs, dwks, pwks, TOWER_DILATIONS, chunk, h, w,
+                        interpret)
 
 
 def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
@@ -100,10 +119,8 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                           dilation=HEAD_DENSE_DILATION, chunk=chunk,
                           h_real=h, w_real=w, affine=aff0[:, F:],
                           interpret=interpret)
-    for k, d in enumerate(HEAD_DILATIONS):
-        y = K.fused_dwsep(y, affs[k], dwks[k], pwks[k], dilation=d,
-                          chunk=chunk, h_real=h, w_real=w,
-                          interpret=interpret)
+    y = _dwsep_chain(y, affs, dwks, pwks, HEAD_DILATIONS, chunk, h, w,
+                     interpret)
     # plain 3x3 -> 1 output conv (no BN/ReLU, reference: submodules.py:318-325)
     return K.fused_dense(y, out_k.astype(dtype), dilation=1, chunk=chunk,
                          h_real=h, w_real=w, interpret=interpret)

@@ -237,6 +237,98 @@ def fused_dwsep(x: jnp.ndarray, affine: jnp.ndarray,
     )(x, x, x, aff, dwt, pwk)
 
 
+def _dwsep2_layer_kernel(p_ref, c_ref, n_ref, aff1_ref, dw1_ref, pw1_ref,
+                         aff2_ref, dw2_ref, pw2_ref, o_ref,
+                         *, d1, d2, chunk, T8, h_real, w_real):
+    """TWO consecutive dw-sep layers in one kernel: the intermediate
+    activation lives only in VMEM, halving the chain's HBM round trips.
+    Window halo T8 = round8(d1 + d2); layer 1 computes the intermediate for
+    rows [T8 - d2, T8 + chunk + d2) only."""
+    Wc = o_ref.shape[3]
+    i = pl.program_id(1)
+
+    def compute(w):
+        # layer 1 -> intermediate rows [T8 - d2, T8 + chunk + d2)
+        rows_i = chunk + 2 * d2
+        m0 = T8 - d2 - d1
+        acc = None
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            sl = w[:, m0 + dy * d1:m0 + dy * d1 + rows_i,
+                   d1 + (dx - 1) * d1:d1 + (dx - 1) * d1 + Wc]
+            term = sl * dw1_ref[t]
+            acc = term if acc is None else acc + term
+        C = acc.shape[0]
+        inter = jax.lax.dot_general(
+            pw1_ref[:], acc.reshape(C, rows_i * Wc), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(acc.dtype))
+        Co1 = inter.shape[0]
+        inter = inter.reshape(Co1, rows_i, Wc).astype(w.dtype)
+
+        # activate intermediate (BN2-affine + ReLU, re-mask rows/cols)
+        inter = jnp.maximum(inter * aff2_ref[0] + aff2_ref[1], 0)
+        base2 = i * chunk - d2  # canvas row of intermediate row 0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rows_i, Wc), 0) + base2
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows_i, Wc), 1)
+        mask = (rows >= chunk) & (rows < chunk + h_real) & (cols < w_real)
+        inter = jnp.where(mask, inter, 0).astype(w.dtype)
+        inter = jnp.pad(inter, ((0, 0), (0, 0), (d2, d2)))
+
+        # layer 2 -> output rows [T8, T8 + chunk)
+        acc = None
+        for t in range(9):
+            dy, dx = divmod(t, 3)
+            sl = inter[:, dy * d2:dy * d2 + chunk,
+                       d2 + (dx - 1) * d2:d2 + (dx - 1) * d2 + Wc]
+            term = sl * dw2_ref[t]
+            acc = term if acc is None else acc + term
+        out = jax.lax.dot_general(
+            pw2_ref[:], acc.reshape(Co1, chunk * Wc), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(acc.dtype))
+        o_ref[0] = out.reshape(-1, chunk, Wc).astype(o_ref.dtype)
+
+    _layer_step((p_ref, c_ref, n_ref), o_ref, chunk, T8, d1, h_real, w_real,
+                aff1_ref, compute)
+
+
+def fused_dwsep2(x: jnp.ndarray, affine1, dwk1, pwk1, affine2, dwk2, pwk2,
+                 *, dilation1: int, dilation2: int, chunk: int, h_real: int,
+                 w_real: int, interpret: bool = False) -> jnp.ndarray:
+    """Two fused BN+ReLU+depthwise+pointwise layers, one kernel.
+
+    Args as `fused_dwsep`, twice; layer 1 runs at dilation1, layer 2 at
+    dilation2. Requires chunk >= round8(dilation1 + dilation2).
+    Returns (B, Co2, Hc, Wc) layer canvas.
+    """
+    B, C, Hc, Wc = x.shape
+    Co1, Co2 = pwk1.shape[0], pwk2.shape[0]
+    T8 = _round8(dilation1 + dilation2)
+    assert chunk >= T8 and Hc % chunk == 0, (chunk, T8, Hc)
+
+    def bcast(a, c):
+        return jnp.broadcast_to(a.reshape(2, c, 1, 1), (2, c, 1, Wc))
+
+    def dwt(k, c):
+        return jnp.broadcast_to(k.reshape(9, c)[:, :, None, None],
+                                (9, c, 1, Wc))
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_dwsep2_layer_kernel, d1=dilation1, d2=dilation2,
+                          chunk=chunk, T8=T8, h_real=h_real, w_real=w_real),
+        grid=(B, Hc // chunk),
+        in_specs=_in_specs(C, chunk, Wc, Hc // chunk) + [vm] * 6,
+        out_specs=pl.BlockSpec((1, Co2, chunk, Wc), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co2, Hc, Wc), x.dtype),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x, x, x, bcast(affine1, C), dwt(dwk1, C), pwk1,
+      bcast(affine2, Co1), dwt(dwk2, Co1), pwk2)
+
+
 def _dense_stack_layer_kernel(p_ref, c_ref, n_ref, aff_ref, kt_ref, o_ref,
                               *, d, chunk, T8, h_real, w_real, has_aff):
     """Dense conv for small Ci: im2col tap-stack + one matmul."""

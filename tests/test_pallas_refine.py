@@ -104,6 +104,33 @@ def test_fused_dwsep_parity(rng, chunk):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_dwsep2_parity(rng):
+    """Pair-fused kernel == two single-layer kernels (the intermediate
+    stays in VMEM but the math is identical)."""
+    C, d1, d2, chunk = 8, 2, 4, 16
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    args = []
+    for _ in range(2):
+        a = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.5, (C,)), jnp.float32)
+        dwk = jnp.asarray(rng.standard_normal((3, 3, 1, C)), jnp.float32)
+        pwk = jnp.asarray(rng.standard_normal((C, C)), jnp.float32)
+        args.append((jnp.stack([a, b]), dwk, pwk))
+
+    xc = K.layer_canvas(_planar(x), chunk)
+    y1 = K.fused_dwsep(xc, *args[0], dilation=d1, chunk=chunk, h_real=H,
+                       w_real=W, interpret=True)
+    y1 = K.fused_dwsep(y1, *args[1], dilation=d2, chunk=chunk, h_real=H,
+                       w_real=W, interpret=True)
+    want = _unplanar(K.layer_uncanvas(y1, chunk, H, W))
+
+    y2 = K.fused_dwsep2(xc, *args[0], *args[1], dilation1=d1, dilation2=d2,
+                        chunk=chunk, h_real=H, w_real=W, interpret=True)
+    got = _unplanar(K.layer_uncanvas(y2, chunk, H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("ci,co,affine", [
     (3, 32, False),   # im2col tap-stack branch (entry conv shape)
     (32, 16, True),   # per-tap matmul branch
