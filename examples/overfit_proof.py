@@ -65,16 +65,15 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
 
-    from PIL import Image
-
     from lwsnet_tpu import ModelConfig, TrainConfig
     from lwsnet_tpu.data.kitti2015 import StereoIndex
     from lwsnet_tpu.data.pipeline import StereoPipeline
     from lwsnet_tpu.training.loop import Trainer, TrainerConfig
 
     os.makedirs(args.workdir, exist_ok=True)
-    src = np.asarray(Image.open(GOLDEN_LEFT).convert("RGB"),
-                     dtype=np.float32) / 255.0
+    from lwsnet_tpu.data import transforms as T
+
+    src = T.load_image(GOLDEN_LEFT)
     rng = np.random.default_rng(0)
 
     lefts, rights, disps = [], [], []

@@ -12,10 +12,20 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
-from PIL import Image
 
 from lwsnet_tpu.data import native
+from lwsnet_tpu.data import png as stdpng
 from lwsnet_tpu.data.pfm import read_pfm
+
+
+def _pil_image():
+    """Lazy, optional PIL. The decode chain is native C++ -> PIL -> the
+    stdlib codec (lwsnet_tpu.data.png); PIL is never a hard dependency."""
+    try:
+        from PIL import Image
+        return Image
+    except Exception:
+        return None
 
 # (reference: dataloader/dataloader.py:10-11)
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -32,16 +42,24 @@ def load_image(path: str) -> np.ndarray:
 def decode_image_u8(path: str) -> np.ndarray:
     """Decode an RGB image to HWC uint8 — the input format of the native
     fused crop+normalize (native/src/stereo_ops.cc). Native C++ PNG decoder
-    when built, PIL otherwise."""
+    when built, then PIL, then the stdlib codec."""
     if native.available() and path.lower().endswith(".png"):
         try:
             raw = native.decode_png(path)
             if raw.dtype == np.uint8 and raw.ndim == 3 and raw.shape[2] >= 3:
                 return np.ascontiguousarray(raw[..., :3])
         except ValueError:
-            pass  # unsupported subformat -> PIL fallback
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            pass  # unsupported subformat -> fallbacks below
+    Image = _pil_image()
+    if Image is not None:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    raw = stdpng.read_png(path)
+    if raw.ndim == 2:
+        raw = np.broadcast_to(raw[..., None], raw.shape + (3,))
+    if raw.dtype == np.uint16:
+        raw = (raw >> 8).astype(np.uint8)
+    return np.ascontiguousarray(raw[..., :3].astype(np.uint8))
 
 
 def crop_normalize(img_u8: np.ndarray, y0: int, x0: int, ch: int,
@@ -80,8 +98,11 @@ def load_disparity_kitti(path: str) -> np.ndarray:
                 return raw.astype(np.float32) / 256.0
         except ValueError:
             pass
-    with Image.open(path) as im:
-        return np.asarray(im, dtype=np.float32) / 256.0
+    Image = _pil_image()
+    if Image is not None:
+        with Image.open(path) as im:
+            return np.asarray(im, dtype=np.float32) / 256.0
+    return stdpng.read_png(path).astype(np.float32) / 256.0
 
 
 def load_disparity_sceneflow(path: str) -> np.ndarray:

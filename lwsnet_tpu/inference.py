@@ -16,9 +16,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
 
 from lwsnet_tpu.config import ModelConfig
+from lwsnet_tpu.data import png as stdpng
 from lwsnet_tpu.data import transforms as T
 from lwsnet_tpu.models.lwsnet import LWSNet
 from lwsnet_tpu.utils.colormap import colorize_disparity
@@ -125,7 +125,7 @@ def save_disparity_png(path: str, disp: np.ndarray,
     (reference: inference.py:113-122) or raw 16-bit (KITTI submission
     format: uint16 = disp * 256)."""
     if colormap:
-        Image.fromarray(colorize_disparity(disp)).save(path)
+        stdpng.write_png(path, colorize_disparity(disp))
     else:
-        Image.fromarray((np.clip(disp, 0, 255) * 256.0).astype(np.uint16)
-                        ).save(path)
+        stdpng.write_png(
+            path, (np.clip(disp, 0, 255) * 256.0).astype(np.uint16))

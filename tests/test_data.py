@@ -4,7 +4,7 @@ import os
 
 import numpy as np
 import pytest
-from PIL import Image
+from lwsnet_tpu.data.png import write_png
 
 from lwsnet_tpu.data import (DEFAULT_VAL_FRAMES, StereoIndex, StereoPipeline,
                              index_kitti2015, index_sceneflow, read_pfm,
@@ -103,11 +103,10 @@ def _write_stereo_example(root, name, h, w, disp_val=20.0):
     for sub in ("image_2", "image_3"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
         arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        Image.fromarray(arr.astype(np.uint8)).save(
-            os.path.join(root, sub, name))
+        write_png(os.path.join(root, sub, name), arr.astype(np.uint8))
     os.makedirs(os.path.join(root, "disp_occ_0"), exist_ok=True)
     d16 = np.full((h, w), int(disp_val * 256), dtype=np.uint16)
-    Image.fromarray(d16).save(os.path.join(root, "disp_occ_0", name))
+    write_png(os.path.join(root, "disp_occ_0", name), d16)
 
 
 @pytest.fixture(scope="module")

@@ -2,8 +2,13 @@
 
 import jax.numpy as jnp
 import numpy as np
-import torch
-import torch.nn.functional as tF
+import pytest
+
+try:
+    import torch
+except Exception as _e:  # ImportError, or OSError on a degraded disk
+    pytest.skip(f"torch unavailable: {_e}", allow_module_level=True)
+import torch.nn.functional as tF  # noqa: E402
 
 from lwsnet_tpu.training import losses, metrics
 

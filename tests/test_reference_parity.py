@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+try:
+    import torch
+except Exception as _e:  # ImportError, or OSError on a degraded disk
+    pytest.skip(f"torch unavailable: {_e}", allow_module_level=True)
 
 from lwsnet_tpu import LWSNet, ModelConfig
 from lwsnet_tpu.convert import _deconv, paddle_to_flax

@@ -11,8 +11,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as tF
+
+try:
+    import torch
+except Exception as _e:  # ImportError, or OSError on a degraded disk
+    pytest.skip(f"torch unavailable: {_e}", allow_module_level=True)
+import torch.nn.functional as tF  # noqa: E402
 
 from lwsnet_tpu.ops import stereo
 

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 import pytest
-from PIL import Image
+from lwsnet_tpu.data.png import write_png
 
 from lwsnet_tpu import ModelConfig, TrainConfig
 from lwsnet_tpu.data.kitti2015 import StereoIndex
@@ -35,10 +35,10 @@ def _write_corpus(root) -> StereoIndex:
         disp = rng.uniform(3.0, 40.0, (H, W)).astype(np.float32)
         lp, rp, dp = (os.path.join(root, f"{n}_{i}.png")
                       for n in ("l", "r", "d"))
-        Image.fromarray(img).save(lp)
-        Image.fromarray(right).save(rp)
+        write_png(lp, img)
+        write_png(rp, right)
         # KITTI GT format: uint16 = disp * 256 (reference: dataloader.py:54-56)
-        Image.fromarray((disp * 256).astype(np.uint16)).save(dp)
+        write_png(dp, (disp * 256).astype(np.uint16))
         lefts.append(lp); rights.append(rp); disps.append(dp)
     return StereoIndex(lefts, rights, disps)
 
