@@ -72,6 +72,7 @@ def main() -> None:
 
     os.makedirs(args.workdir, exist_ok=True)
     from lwsnet_tpu.data import transforms as T
+    from lwsnet_tpu.data.png import write_png
 
     src = T.load_image(GOLDEN_LEFT)
     rng = np.random.default_rng(0)
@@ -85,9 +86,9 @@ def main() -> None:
         lp = os.path.join(args.workdir, f"l_{i}.png")
         rp = os.path.join(args.workdir, f"r_{i}.png")
         dp = os.path.join(args.workdir, f"d_{i}.png")
-        Image.fromarray((crop * 255).astype(np.uint8)).save(lp)
-        Image.fromarray((right * 255).astype(np.uint8)).save(rp)
-        Image.fromarray((disp * 256).astype(np.uint16)).save(dp)
+        write_png(lp, (crop * 255).astype(np.uint8))
+        write_png(rp, (right * 255).astype(np.uint8))
+        write_png(dp, (disp * 256).astype(np.uint16))
         lefts.append(lp); rights.append(rp); disps.append(dp)
     index = StereoIndex(lefts, rights, disps)
 

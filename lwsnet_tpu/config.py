@@ -38,11 +38,12 @@ class ModelConfig:
     # True; the XLA module path is the training path, the correctness oracle,
     # and the sane CPU fallback.
     use_pallas: bool = True
-    # Pallas refinement granularity: "layers" = one kernel per layer
-    # (seconds to compile); "chain" = whole tower/head per kernel,
-    # VMEM-resident activations (multi-minute Mosaic compile at full res —
-    # pair with the persistent compilation cache).
-    pallas_mode: str = "layers"
+    # Pallas refinement granularity: "fused" = three chain kernels (tower,
+    # tower, head) with dw-sep layers composed onto the MXU — fastest;
+    # "layers" = one kernel per layer (seconds to compile); "chain" = the
+    # manual-DMA whole tower/head kernels (multi-minute Mosaic compile at
+    # full res — pair with the persistent compilation cache).
+    pallas_mode: str = "fused"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept

@@ -29,13 +29,19 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
                  interpret: Optional[bool] = None):
     """Build the jittable inference forward honoring `cfg.use_pallas`.
 
-    Stages 1-3 always run the XLA cascade. When `use_pallas` (default:
-    `model.cfg.use_pallas`) and 4 stages are requested, the stage-4
-    refinement runs through the fused whole-chain Pallas kernels
-    (`lwsnet_tpu.models.refine_pallas`) — BN folded to inference affines,
-    activations VMEM-resident across the tower/head layers. Off-TPU the
-    kernels fall back to interpreter mode (slow; the XLA path via
-    use_pallas=False is the sane CPU choice).
+    With `use_pallas` (default: `model.cfg.use_pallas`) the cascade is
+    assembled functionally from the LWSNet parameter subtrees so the hot
+    stages run as fused Pallas kernels (inference semantics, BN folded):
+
+      * stage-1 cost filtering + identity skip + soft-argmin runs as ONE
+        VMEM-resident kernel (`lwsnet_tpu.ops.pallas.costfilter`);
+      * the stage-4 refinement runs as three whole-chain kernels
+        (`lwsnet_tpu.models.refine_pallas`).
+
+    Stages 2-3 (small residual volumes) and all glue stay XLA. The XLA
+    module path (`use_pallas=False`) is the training path, the correctness
+    oracle (tests/test_pallas_refine.py), and the sane CPU choice — off-TPU
+    the kernels fall back to interpreter mode only to stay jittable.
 
     Returns forward(variables, left, right) -> [disp_1..disp_stages].
     """
@@ -43,24 +49,70 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
     stages = num_stages if num_stages is not None else cfg.num_stages
     if use_pallas is None:
         use_pallas = cfg.use_pallas
-    if stages < 4 or not use_pallas:
+    if not use_pallas:
         def forward(variables, left, right):
             return model.apply(variables, left, right, train=False,
                                num_stages=stages)
         return forward
 
     from lwsnet_tpu.models import refine_pallas
+    from lwsnet_tpu.models.feature import FeatureExtractor
+    from lwsnet_tpu.ops import stereo
+    from lwsnet_tpu.ops.pallas import costfilter
 
     interp = (jax.default_backend() != "tpu") if interpret is None \
         else interpret
+    dtype = cfg.dtype
 
     def forward(variables, left, right):
-        preds = model.apply(variables, left, right, train=False,
-                            num_stages=3)
-        res = refine_pallas.refine_residual(
-            variables, left, preds[-1], dtype=cfg.dtype, interpret=interp,
-            mode=cfg.pallas_mode)
-        return preds + [preds[-1] + res]
+        # Mirrors LWSNet.__call__ (lwsnet_tpu/models/lwsnet.py) with Pallas
+        # substitutions; equivalence is pinned by tests/test_pallas_refine.py.
+        p, s = variables["params"], variables["batch_stats"]
+        B, H, W, _ = left.shape
+        both = jnp.concatenate([left, right], axis=0).astype(dtype)
+        feats = FeatureExtractor(cfg.feature_channels, dtype=dtype).apply(
+            {"params": p["FeatureExtractor_0"],
+             "batch_stats": s["FeatureExtractor_0"]}, both, False)
+
+        preds = []
+        for scale in range(min(stages, 3)):
+            fl, fr = feats[scale][:B], feats[scale][B:]
+            fh, fw = fl.shape[1], fl.shape[2]
+            D = cfg.max_disp_list[scale]
+            if scale == 0:
+                cost = stereo.build_cost_volume(fl, fr, D)
+                start = 0
+            else:
+                wflow = stereo.resize_bilinear(preds[-1], fh, fw) * (fh / H)
+                cost = stereo.build_residual_volume(fl, fr, wflow, D)
+                start = -D + 1
+            channels = cfg.channels_3d * cfg.growth_rate[scale]
+            if scale == 0:
+                # Fused filter + skip + regression, volume VMEM-resident.
+                d = costfilter.filter_soft_argmin(
+                    cost, p[f"CostFilter3D_{scale}"],
+                    s[f"CostFilter3D_{scale}"], layers=cfg.layers_3d,
+                    channels=channels, start=start, dtype=dtype,
+                    interpret=interp)
+            else:
+                from lwsnet_tpu.models.blocks import CostFilter3D
+                filt = CostFilter3D(
+                    cfg.layers_3d, channels, impl=cfg.conv3d_impl,
+                    dtype=dtype,
+                ).apply({"params": p[f"CostFilter3D_{scale}"],
+                         "batch_stats": s[f"CostFilter3D_{scale}"]},
+                        cost, False)
+                d = stereo.soft_argmin(filt + cost, start, D)
+            d = d * (H / fh)
+            d_up = stereo.resize_bilinear(d, H, W)
+            preds.append(d_up if scale == 0 else d_up + preds[-1])
+
+        if stages == 4:
+            res = refine_pallas.refine_residual(
+                variables, left, preds[-1], dtype=dtype, interpret=interp,
+                mode=cfg.pallas_mode)
+            preds.append(preds[-1] + res)
+        return [x.astype(jnp.float32) for x in preds]
 
     return forward
 

@@ -126,9 +126,50 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                          h_real=h, w_real=w, interpret=interpret)
 
 
+def _fused_chunk(height: int) -> int:
+    """Row chunk for the 3-kernel fused mode. Must be >= the tower chain's
+    T8 = round8(1+2+4+8+16) = 32; 48 keeps the head kernel (two 32-ch input
+    streams + f32 accumulators) under the v5e VMEM budget."""
+    return 48
+
+
+def _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret):
+    """Whole-refinement in THREE chain kernels (one per tower, one head):
+    every dw-sep layer composed to a dense rank-1 conv on the MXU
+    (`compose_dwsep`), intermediates VMEM-resident. Measured motivation in
+    ops/pallas/refine.py (streamed chain kernel block comment)."""
+    chunk = _fused_chunk(H)
+
+    def tower(x, weights):
+        entry, affs, dwks, pwks = weights
+        kernels = [entry] + [K.compose_dwsep(dwks[i], pwks[i])
+                             for i in range(len(TOWER_DILATIONS))]
+        affines = [None] + [affs[i] for i in range(len(TOWER_DILATIONS))]
+        return K.fused_chain((K.layer_canvas(x, chunk),), kernels, affines,
+                             (1,) + TOWER_DILATIONS, chunk=chunk, h_real=H,
+                             w_real=W, interpret=interpret)
+
+    tower_l = tower(xl, tw_l)
+    tower_d = tower(xd, tw_d)
+
+    aff0, dense, affs, dwks, pwks, out_k = hw
+    F = pwks.shape[1]
+    kernels = [(dense[:, :, :F], dense[:, :, F:])]
+    kernels += [K.compose_dwsep(dwks[i], pwks[i])
+                for i in range(len(HEAD_DILATIONS))]
+    kernels.append(out_k)
+    affines = [(aff0[:, :F], aff0[:, F:])]
+    affines += [affs[i] for i in range(len(HEAD_DILATIONS))]
+    affines.append(None)
+    dils = (HEAD_DENSE_DILATION,) + HEAD_DILATIONS + (1,)
+    res = K.fused_chain((tower_l, tower_d), kernels, affines, dils,
+                        chunk=chunk, h_real=H, w_real=W, interpret=interpret)
+    return K.layer_uncanvas(res, chunk, H, W)
+
+
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                     *, dtype=jnp.bfloat16, interpret: bool = False,
-                    mode: str = "layers") -> jnp.ndarray:
+                    mode: str = "fused") -> jnp.ndarray:
     """The stage-4 refinement residual via the fused Pallas kernels.
 
     Equals RefinementTower(left) ++ RefinementTower(disp) -> RefinementHead
@@ -136,6 +177,11 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     uses folded running statistics.
 
     mode:
+      "fused"  — THREE chain kernels (tower, tower, head): dw-sep layers
+        composed into dense rank-1 convs on the MXU, intermediates
+        VMEM-resident (`fused_chain`). Fastest; per-kernel fixed costs
+        (window assembly + canvas streaming, ~0.5 ms each) are paid 3 times
+        instead of 11.
       "layers" — one Pallas kernel per layer (fused_dense / fused_dwsep),
         canvases round-trip HBM between layers (~36 MB bf16 at 368x1232).
         Compiles in seconds.
@@ -151,7 +197,7 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
-    assert mode in ("layers", "chain"), mode
+    assert mode in ("fused", "layers", "chain"), mode
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
     xl = jnp.transpose(left.astype(dtype), (0, 3, 1, 2))
@@ -161,6 +207,10 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     tw_d = _tower_weights(p["RefinementTower_1"], s["RefinementTower_1"],
                           dtype)
     hw = _head_weights(p["RefinementHead_0"], s["RefinementHead_0"], dtype)
+
+    if mode == "fused":
+        res = _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret)
+        return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)
 
     if mode == "chain":
         tower_l = K.fused_tower(xl, *tw_l, dilations=TOWER_DILATIONS,

@@ -446,6 +446,197 @@ def fused_dense(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
 
 
 # ---------------------------------------------------------------------------
+# Streamed chain kernel: a whole stack of dense dilated-3x3 conv layers in
+# ONE kernel on the layer-canvas geometry. Motivation (measured, v5e,
+# 368x1232): every per-layer kernel pays ~0.5 ms of fixed cost — window
+# assembly, activation masking, and streaming the 3 shifted block views —
+# regardless of its conv math (a 32->1 output conv costs 0.556 ms, a full
+# dw-sep layer 0.62 ms). Chaining L layers per kernel pays that cost once:
+# the window is assembled once and every intermediate lives only as a VMEM
+# value. Depthwise-separable layers enter the chain COMPOSED into dense
+# rank-1 convs (k[dy,dx,ci,co] = dw[dy,dx,ci] * pw[co,ci] — exact because
+# no nonlinearity sits between the depthwise and pointwise convs), so all
+# tap math runs as per-tap (Co, Ci) x (Ci, rows*Wc) matmuls on the MXU with
+# f32 accumulation instead of 9-tap VPU FMA chains.
+#
+# Row bookkeeping: the kernel's window covers canvas rows
+# [i*chunk - T8, i*chunk + chunk + T8), T8 = round8(sum(dilations)). Layer k
+# consumes a d_k-row margin from each side; the running offset s_k =
+# sum_{j<k} d_j <= T8 keeps every slice static. Out-of-image rows/columns
+# are re-zeroed after every activation (the convs' zero padding must
+# surround *activated* values), so canvas garbage never propagates.
+# ---------------------------------------------------------------------------
+
+
+def _acc_conv(w, kt_ref, d, m, rows_out, Wc, cp, precision):
+    """Dense dilated-3x3 conv on an activated window VALUE via 9 per-tap
+    matmuls with f32 accumulation. `w`: (Ci, R, Wc + 2*cp) with column pad
+    cp >= d and zeros outside the real image. Output rows correspond to
+    window rows [m + d, m + d + rows_out). Returns (Co, rows_out, Wc) f32."""
+    acc = None
+    for t in range(9):
+        dy, dx = divmod(t, 3)
+        sl = w[:, m + dy * d:m + dy * d + rows_out,
+               cp + (dx - 1) * d:cp + (dx - 1) * d + Wc]
+        Ci = sl.shape[0]
+        term = jax.lax.dot_general(
+            kt_ref[t], sl.reshape(Ci, rows_out * Wc), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        acc = term if acc is None else acc + term
+    return acc.reshape(-1, rows_out, Wc)
+
+
+def _chain_body(refs, o_ref, *, chunk, T8, dils, has_aff, n_in, h_real,
+                w_real, cp, dt):
+    """Grid-step body shared by `fused_chain` callables."""
+    i = pl.program_id(1)
+    nb = pl.num_programs(1)
+    Wc = o_ref.shape[3]
+    prec = _dot_precision(dt)
+
+    @pl.when((i == 0) | (i == nb - 1))
+    def _():
+        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    @pl.when((i > 0) & (i < nb - 1))
+    def _():
+        base = i * chunk - T8  # canvas row of window row 0
+        it = iter(refs)
+        views = [(next(it), next(it), next(it)) for _ in range(n_in)]
+        affs = [[next(it) for _ in range(n_in)] if has_aff[0] else None]
+        kts = [[next(it) for _ in range(n_in)]]
+        for k in range(1, len(dils)):
+            affs.append(next(it) if has_aff[k] else None)
+            kts.append(next(it))
+
+        # Layer 0 directly on the (activated, masked) input window(s); a
+        # 2-input chain realizes conv(concat(a, b)) as conv_a(a) + conv_b(b).
+        d0 = dils[0]
+        rows0 = (chunk + 2 * T8) - 2 * d0 if len(dils) > 1 else chunk
+        m0 = 0 if len(dils) > 1 else T8 - d0
+        u = None
+        for j in range(n_in):
+            aj = affs[0][j] if affs[0] is not None else None
+            w = _window_value(*views[j], i, chunk, T8, cp, h_real, w_real, aj)
+            t = _acc_conv(w, kts[0][j], d0, m0, rows0, Wc, cp, prec)
+            u = t if u is None else u + t
+        s = d0  # window row of the current value's row 0
+
+        for k in range(1, len(dils)):
+            d = dils[k]
+            # activate + re-mask + column-pad the intermediate
+            if affs[k] is not None:
+                u = jnp.maximum(u * affs[k][0] + affs[k][1], 0)
+            Rk = u.shape[1]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Rk, Wc), 0) + base + s
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Rk, Wc), 1)
+            mask = (rows >= chunk) & (rows < chunk + h_real) & (cols < w_real)
+            v = jnp.pad(jnp.where(mask, u, 0).astype(dt),
+                        ((0, 0), (0, 0), (cp, cp)))
+            last = k == len(dils) - 1
+            rows_out = chunk if last else Rk - 2 * d
+            m = (T8 - s - d) if last else 0
+            u = _acc_conv(v, kts[k], d, m, rows_out, Wc, cp, prec)
+            s += d
+
+        o_ref[0] = u.astype(o_ref.dtype)
+
+
+def _kt(kernel):
+    """(3, 3, Ci, Co) HWIO -> (9, Co, Ci) per-tap matmul weights."""
+    return jnp.transpose(kernel, (0, 1, 3, 2)).reshape(
+        9, kernel.shape[3], kernel.shape[2])
+
+
+def compose_dwsep(dwk: jnp.ndarray, pwk: jnp.ndarray) -> jnp.ndarray:
+    """Fold depthwise (3, 3, 1, C) + pointwise (Co, C) into one dense
+    (3, 3, C, Co) conv: k[dy,dx,ci,co] = dw[dy,dx,ci] * pw[co,ci]. Exact —
+    there is no nonlinearity between the two convs. Computed in f32."""
+    dw = dwk.reshape(3, 3, -1).astype(jnp.float32)
+    pw = pwk.astype(jnp.float32)
+    return dw[:, :, :, None] * pw.T[None, None, :, :]
+
+
+def fused_chain(inputs, kernels, affines, dilations, *, chunk: int,
+                h_real: int, w_real: int, interpret: bool = False,
+                out_dtype=None) -> jnp.ndarray:
+    """A chain of [BN-affine + ReLU +] dense dilated-3x3 conv layers in ONE
+    Pallas kernel; intermediates never leave VMEM.
+
+    Args:
+      inputs: tuple of 1 or 2 layer canvases (B, Ci, Hc, Wc) built by
+        `layer_canvas(x, chunk)`. With 2 inputs, layer 0 computes
+        conv_a(x_a) + conv_b(x_b) == conv(concat(x_a, x_b)) (the reference
+        head's entry over concatenated towers, models/submodules.py:302-311).
+      kernels: list, one per layer; kernels[0] is a tuple (one per input).
+        Each (3, 3, Ci, Co) HWIO. Depthwise-separable layers pass
+        `compose_dwsep(dwk, pwk)`.
+      affines: list, one per layer; affines[0] a tuple per input. Each
+        (2, Ci) folded BN or None (no BN+ReLU before that conv).
+      dilations: list of per-layer dilations; requires
+        chunk >= round8(sum(dilations)).
+    Returns:
+      (B, Co_last, Hc, Wc) layer canvas.
+    """
+    n_in = len(inputs)
+    assert n_in in (1, 2), n_in
+    B, _, Hc, Wc = inputs[0].shape
+    dils = tuple(int(d) for d in dilations)
+    T8 = _round8(sum(dils))
+    assert chunk >= T8 and Hc % chunk == 0, (chunk, T8, Hc)
+    cp = max(dils)
+    dt = inputs[0].dtype
+    Co = kernels[-1].shape[-1] if len(dils) > 1 else kernels[0][0].shape[-1]
+    nb = Hc // chunk
+
+    in_specs, args, has_aff = [], [], []
+    for x in inputs:
+        in_specs += _in_specs(x.shape[1], chunk, Wc, nb)
+        args += [x, x, x]
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def bcast_aff(a):
+        c = a.shape[1]
+        return jnp.broadcast_to(
+            a.astype(dt).reshape(2, c, 1, 1), (2, c, 1, Wc))
+
+    aff0, k0 = affines[0], kernels[0]
+    aff0 = aff0 if isinstance(aff0, (tuple, list)) else (aff0,) * n_in
+    k0 = k0 if isinstance(k0, (tuple, list)) else (k0,)
+    has_aff.append(aff0[0] is not None)
+    if has_aff[0]:
+        for a in aff0:
+            args.append(bcast_aff(a))
+            in_specs.append(vm)
+    for k in k0:
+        args.append(_kt(k.astype(dt)))
+        in_specs.append(vm)
+    for k in range(1, len(dils)):
+        has_aff.append(affines[k] is not None)
+        if has_aff[-1]:
+            args.append(bcast_aff(affines[k]))
+            in_specs.append(vm)
+        args.append(_kt(kernels[k].astype(dt)))
+        in_specs.append(vm)
+
+    def body(*refs):
+        _chain_body(refs[:-1], refs[-1], chunk=chunk, T8=T8, dils=dils,
+                    has_aff=tuple(has_aff), n_in=n_in, h_real=h_real,
+                    w_real=w_real, cp=cp, dt=dt)
+
+    return pl.pallas_call(
+        body,
+        grid=(B, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Co, chunk, Wc), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), out_dtype or dt),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
 # Whole-chain kernels: an entire refinement tower (entry conv + 4 dw-sep
 # layers) or the refinement head (dense dilated conv + 4 dw-sep layers +
 # 1-channel output conv) in ONE kernel. Activations never leave VMEM between

@@ -39,8 +39,9 @@ def _jittered_variables(model, left, right, rng):
 
 
 @pytest.fixture(scope="module",
-                params=["float32-layers", "float32-chain",
-                        "bfloat16-layers", "bfloat16-chain"])
+                params=["float32-layers", "float32-chain", "float32-fused",
+                        "bfloat16-layers", "bfloat16-chain",
+                        "bfloat16-fused"])
 def stage4_pair(request):
     """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo."""
     dtype, mode = request.param.split("-")
@@ -59,18 +60,19 @@ def stage4_pair(request):
 def test_stage4_parity(stage4_pair):
     dtype, xla, pallas = stage4_pair
     assert len(pallas) == 4
-    # Stages 1-3 are the identical XLA program.
-    for a, b in zip(xla[:3], pallas[:3]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-    a, b = np.asarray(xla[3]), np.asarray(pallas[3])
-    assert np.all(np.isfinite(b))
-    span = a.max() - a.min() + 1.0
-    if dtype == "float32":
-        # f32 end to end (HIGHEST-precision dots): only op-order rounding.
-        assert np.abs(a - b).max() < 1e-3 * span
-    else:
-        # bf16: both paths round differently per-op; bound mean deviation.
-        assert np.abs(a - b).mean() < 0.02 * span
+    # Every stage must track the XLA oracle. Stage 1 runs the fused Pallas
+    # cost-filter kernel (different reduction order than the XLA conv), so
+    # stages 1-3 carry small op-order/rounding deviations too.
+    for stage, (a, b) in enumerate(zip(xla, pallas)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b))
+        span = a.max() - a.min() + 1.0
+        if dtype == "float32":
+            # f32 end to end (HIGHEST-precision dots): op-order rounding only.
+            assert np.abs(a - b).max() < 1e-3 * span, stage
+        else:
+            # bf16: both paths round differently per-op; bound mean deviation.
+            assert np.abs(a - b).mean() < 0.02 * span, stage
 
 
 def _planar(x):
@@ -129,6 +131,60 @@ def test_fused_dwsep2_parity(rng):
     got = _unplanar(K.layer_uncanvas(y2, chunk, H, W))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_chain_parity(rng):
+    """Whole-chain kernel (composed dw-sep layers, 2-input entry) == the
+    per-layer kernels run back to back: a miniature of the head chain
+    (dense 2-input entry + dw-sep + output conv)."""
+    C, chunk = 8, 16
+    xa = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+    a0 = jnp.stack([jnp.asarray(rng.uniform(0.5, 1.5, (2 * C,)), jnp.float32),
+                    jnp.asarray(rng.normal(0, 0.5, (2 * C,)), jnp.float32)])
+    dense = jnp.asarray(rng.standard_normal((3, 3, 2 * C, C)), jnp.float32)
+    a1 = jnp.stack([jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32),
+                    jnp.asarray(rng.normal(0, 0.5, (C,)), jnp.float32)])
+    dwk = jnp.asarray(rng.standard_normal((3, 3, 1, C)), jnp.float32)
+    pwk = jnp.asarray(rng.standard_normal((C, C)), jnp.float32)
+    outk = jnp.asarray(rng.standard_normal((3, 3, C, 1)), jnp.float32)
+
+    # oracle: per-layer kernels on the concatenated input
+    xc = K.layer_canvas(_planar(jnp.concatenate([xa, xb], -1)), chunk)
+    y = K.fused_dense(xc, dense, dilation=4, chunk=chunk, h_real=H, w_real=W,
+                      affine=a0, interpret=True)
+    y = K.fused_dwsep(y, a1, dwk, pwk, dilation=2, chunk=chunk, h_real=H,
+                      w_real=W, interpret=True)
+    y = K.fused_dense(y, outk, dilation=1, chunk=chunk, h_real=H, w_real=W,
+                      interpret=True)
+    want = _unplanar(K.layer_uncanvas(y, chunk, H, W))
+
+    got = K.fused_chain(
+        (K.layer_canvas(_planar(xa), chunk), K.layer_canvas(_planar(xb), chunk)),
+        [(dense[:, :, :C], dense[:, :, C:]), K.compose_dwsep(dwk, pwk), outk],
+        [(a0[:, :C], a0[:, C:]), a1, None],
+        (4, 2, 1), chunk=chunk, h_real=H, w_real=W, interpret=True)
+    got = _unplanar(K.layer_uncanvas(got, chunk, H, W))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_chain_single_layer(rng):
+    """One-layer chain == fused_dense (exercises the len(dils)==1 path)."""
+    ci, co, d, chunk = 8, 16, 2, 16
+    x = jnp.asarray(rng.standard_normal((1, H, W, ci)), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, ci, co)), jnp.float32)
+    a = jnp.stack([jnp.asarray(rng.uniform(0.5, 1.5, (ci,)), jnp.float32),
+                   jnp.asarray(rng.normal(0, 0.5, (ci,)), jnp.float32)])
+    xc = K.layer_canvas(_planar(x), chunk)
+    want = K.fused_dense(xc, kern, dilation=d, chunk=chunk, h_real=H,
+                         w_real=W, affine=a, interpret=True)
+    got = K.fused_chain((xc,), [kern], [a], (d,), chunk=chunk, h_real=H,
+                        w_real=W, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(_unplanar(K.layer_uncanvas(got, chunk, H, W))),
+        np.asarray(_unplanar(K.layer_uncanvas(want, chunk, H, W))),
+        atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("ci,co,affine", [
