@@ -86,22 +86,25 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
                 wflow = stereo.resize_bilinear(preds[-1], fh, fw) * (fh / H)
                 cost = stereo.build_residual_volume(fl, fr, wflow, D)
                 start = -D + 1
+            # Stages 2-3 (D=9, C=8): fused folded-D Pallas kernel — filter +
+            # skip + regression, volume VMEM-resident. Stage 1 (D=24, C=32)
+            # stays XLA for now: its per-slice kernel needs a dynamic
+            # 3-sublane read that Mosaic requires 8-aligned (see
+            # ops/pallas/costfilter.py; kernel + parity tests kept for the
+            # aligned-block rework).
             channels = cfg.channels_3d * cfg.growth_rate[scale]
-            if scale == 0:
-                # Fused filter + skip + regression, volume VMEM-resident.
+            subtree = {"params": p[f"CostFilter3D_{scale}"],
+                       "batch_stats": s[f"CostFilter3D_{scale}"]}
+            if (cost.shape[-1] + 2) * channels <= 128:
                 d = costfilter.filter_soft_argmin(
-                    cost, p[f"CostFilter3D_{scale}"],
-                    s[f"CostFilter3D_{scale}"], layers=cfg.layers_3d,
-                    channels=channels, start=start, dtype=dtype,
-                    interpret=interp)
+                    cost, subtree["params"], subtree["batch_stats"],
+                    layers=cfg.layers_3d, channels=channels, start=start,
+                    dtype=dtype, interpret=interp)
             else:
                 from lwsnet_tpu.models.blocks import CostFilter3D
                 filt = CostFilter3D(
                     cfg.layers_3d, channels, impl=cfg.conv3d_impl,
-                    dtype=dtype,
-                ).apply({"params": p[f"CostFilter3D_{scale}"],
-                         "batch_stats": s[f"CostFilter3D_{scale}"]},
-                        cost, False)
+                    dtype=dtype).apply(subtree, cost, False)
                 d = stereo.soft_argmin(filt + cost, start, D)
             d = d * (H / fh)
             d_up = stereo.resize_bilinear(d, H, W)

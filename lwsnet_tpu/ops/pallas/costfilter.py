@@ -83,6 +83,14 @@ def _pixel_mask(H: int, W: int):
     return flat
 
 
+def _dpad_mask(D: int, dtype) -> jnp.ndarray:
+    """(1, D+2, 1) mask zeroing the disparity pad slices. The layer-0
+    activation relu(a0*0 + b0) is nonzero at pad positions whenever b0 > 0;
+    the flat pixel mask only covers H/W pads, so the D pads need their own."""
+    m = jnp.ones((1, D + 2, 1), dtype)
+    return m.at[:, 0].set(0).at[:, D + 1].set(0)
+
+
 def _fold_bn(bn_params, bn_stats):
     """(scale', shift') f32 pair folding inference BatchNorm."""
     a = bn_params["scale"].astype(jnp.float32) * jax.lax.rsqrt(
@@ -176,6 +184,110 @@ def _kernel(act0_ref, v_ref, mask_ref, *rest, D, Ci_list, Co_list, S, ML, Lc,
     o_ref[0] = num / (den + jnp.float32(1e-20))
 
 
+def _banded_weights(params, stats, n_layers, D, dtype):
+    """Folded-D augmented weights for `_folded_kernel`: per layer a
+    (9, (D+2)*Co, (D+2)*Ci + 1) stack — one (out-rows, in-rows) matrix per
+    (dy, dx) tap, the depth taps realized as a block band over the folded
+    D axis (out slice do reads in slices do-1..do+1; pad slices carry zero
+    rows/columns). The extra input column pairs with the buffer's ones row:
+    the CENTER tap's column holds layer k+1's folded BN bias, and all taps'
+    rows absorb its scale — same augmentation scheme as `_aug_weights`."""
+    affs = []
+    for i in range(n_layers):
+        blk = params[f"BNReLUConv3D_{i}"]["BatchNorm_0"]
+        bst = stats[f"BNReLUConv3D_{i}"]["BatchNorm_0"]
+        affs.append(_fold_bn(blk, bst))
+
+    # Constant placement matrices (jit-safe: weights may be tracers, so the
+    # banded structure is expressed as kron with numpy constants).
+    # band[kd][do+1, do+kd] = 1: output slice do reads input slice do+kd-1
+    # (padded coords), pad output slices get all-zero rows.
+    band = []
+    for kd in range(3):
+        b = np.zeros((D + 2, D + 2), np.float32)
+        for do in range(D):
+            b[do + 1, do + kd] = 1.0
+        band.append(jnp.asarray(b))
+    real_rows = np.zeros((D + 2,), np.float32)
+    real_rows[1:D + 1] = 1.0
+    real_rows = jnp.asarray(real_rows)
+
+    weights = []
+    for i in range(n_layers):
+        k = params[f"BNReLUConv3D_{i}"]["kernel"].astype(jnp.float32)
+        co, ci = k.shape[4], k.shape[3]
+        if i + 1 < n_layers:
+            a_next, b_next = affs[i + 1]
+        else:
+            a_next = jnp.ones((co,), jnp.float32)
+            b_next = jnp.zeros((co,), jnp.float32)
+        taps = []
+        for dy in range(3):
+            for dx in range(3):
+                w_t = sum(jnp.kron(band[kd],
+                                   a_next[:, None] * k[kd, dy, dx].T)
+                          for kd in range(3))  # ((D+2)*co, (D+2)*ci)
+                if dy == 1 and dx == 1:
+                    bias = jnp.kron(real_rows, b_next)[:, None]
+                else:
+                    bias = jnp.zeros(((D + 2) * co, 1), jnp.float32)
+                taps.append(jnp.concatenate([w_t, bias], axis=1))
+        weights.append(jnp.stack(taps).astype(dtype))
+    return weights, affs[0]
+
+
+def _folded_kernel(act0_ref, v_ref, mask_ref, *rest, D, Co_list, S, ML, Lc,
+                   start):
+    """Folded-D variant: D rides the matmul row axis (requires
+    (D+2)*max(C) + 1 rows); each layer is 9 tap matmuls with f32
+    accumulation, no in-kernel loop over disparity slices."""
+    n = len(Co_list)
+    w_refs, o_ref, bufA, bufB = rest[:n], rest[n], rest[n + 1], rest[n + 2]
+    mask = mask_ref[0]  # (1, Lt)
+    mask_c = mask[:, ML:ML + Lc]
+    offs = [(dy - 1) * S + (dx - 1) for dy in range(3) for dx in range(3)]
+
+    # Scratch lanes outside [ML, ML+Lc) and rows above a layer's row count
+    # are read by later taps/layers: keep them zero.
+    bufA[:] = jnp.zeros(bufA.shape, bufA.dtype)
+    bufB[:] = jnp.zeros(bufB.shape, bufB.dtype)
+
+    bufs = [bufA, bufB]
+    src = act0_ref[0]  # (rows0, Lt) value: activated volume + ones row
+    cost = None
+    for k in range(n):
+        co = Co_list[k]
+        ro = (D + 2) * co
+        dst = bufs[k % 2]
+        acc = None
+        for t, off in enumerate(offs):
+            sl = src[:, ML + off:ML + off + Lc]
+            term = jax.lax.dot_general(
+                w_refs[k][t], sl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if sl.dtype == jnp.float32 else None))
+            acc = term if acc is None else acc + term
+        if k == n - 1:
+            cost = acc  # ((D+2)*1, Lc) raw f32
+            break
+        y = jnp.maximum(acc, 0) * mask_c
+        dst[0:ro, ML:ML + Lc] = y.astype(dst.dtype)
+        dst[dst.shape[0] - 1, :] = mask[0]  # ones row (bias carrier)
+        src = dst[:, :]
+
+    # skip + soft-argmin over the D valid slices
+    cost = cost[1:D + 1] + v_ref[0, 1:D + 1, ML:ML + Lc].astype(jnp.float32)
+    m = jnp.min(cost, axis=0, keepdims=True)
+    e = jnp.exp(m - cost) * mask_c
+    den = jnp.sum(e, axis=0, keepdims=True)
+    bins = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+            .astype(jnp.float32) + jnp.float32(start))
+    num = jnp.sum(e * bins, axis=0, keepdims=True)
+    o_ref[0] = jnp.zeros(o_ref.shape[1:], jnp.float32)
+    o_ref[0, :, ML:ML + Lc] = num / (den + jnp.float32(1e-20))
+
+
 def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
                        channels: int, start: int, dtype=jnp.bfloat16,
                        interpret: bool = False) -> jnp.ndarray:
@@ -203,10 +315,19 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
     Co_list = [channels] * (layers + 1) + [1]
     cmax = max(Co_list)
 
+    if (D + 2) * cmax <= 128:
+        # Folded-D formulation: D rides the matmul rows — full-width MXU
+        # tiles for the small-channel stages 2-3 (D=9, C=8 -> 88 rows) and
+        # no in-kernel disparity loop.
+        return _folded_call(cost, params, stats, n=n, Co_list=Co_list,
+                            cmax=cmax, start=start, dtype=dtype,
+                            interpret=interpret)
+
     weights, (a0, b0) = _aug_weights(params, stats, n, dtype)
     v = _pack(cost.astype(dtype))
     mask = jnp.asarray(_pixel_mask(H, W), dtype)
-    act0 = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]).astype(dtype)
+    act0 = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
+            * _dpad_mask(D, v.dtype)).astype(dtype)
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_specs = dict(
@@ -235,5 +356,47 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
         **grid_specs,
+    )(act0, v, mask, *weights)
+    return _unpack(out, H, W)
+
+
+def _folded_call(cost, params, stats, *, n, Co_list, cmax, start, dtype,
+                 interpret):
+    """pallas_call plumbing for `_folded_kernel` (see `filter_soft_argmin`)."""
+    B, H, W, D = cost.shape
+    S, ML, Lc, Lt = _geom(H, W)
+    rows = (D + 2) * cmax + 1
+
+    weights, (a0, b0) = _banded_weights(params, stats, n, D, dtype)
+    v = _pack(cost.astype(dtype))  # (B, D+2, Lt)
+    mask = jnp.asarray(_pixel_mask(H, W), dtype)
+    act0 = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
+            * _dpad_mask(D, v.dtype)).astype(dtype)
+    ones_row = jnp.broadcast_to(mask, (B, 1, Lt))
+    act0 = jnp.concatenate([act0, ones_row], axis=1)  # (B, D+3, Lt)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_folded_kernel, D=D, Co_list=tuple(Co_list), S=S,
+                          ML=ML, Lc=Lc, start=start),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, D + 3, Lt), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D + 2, Lt), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Lt), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [vm] * n,
+        out_specs=pl.BlockSpec((1, 1, Lt), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Lt), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, Lt), jnp.dtype(dtype)),
+            pltpu.VMEM((rows, Lt), jnp.dtype(dtype)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
     )(act0, v, mask, *weights)
     return _unpack(out, H, W)

@@ -146,14 +146,17 @@ def build_residual_volume(feat_l: jnp.ndarray, feat_r: jnp.ndarray,
 
     pad = jnp.pad(feat_r, ((0, 0), (0, 0), (P, P), (0, 0)))
     offsets = [(k - max_disp + 1) * stride for k in range(2 * max_disp - 1)]
-    slices = []
-    for o in offsets:
-        # shifted[w] == pad[w + o]; the wrapped-around entries of roll always
-        # land in a zero-pad region (|o| <= P), so they contribute nothing.
-        shifted = jnp.roll(pad, -o, axis=2)
-        warped = jnp.einsum("bhxw,bhwc->bhxc", A, shifted)
-        slices.append(jnp.sum(jnp.abs(feat_l - warped), axis=-1))
-    return jnp.stack(slices, axis=-1)
+    K = len(offsets)
+    # shifted[w] == pad[w + o]; the wrapped-around entries of roll always
+    # land in a zero-pad region (|o| <= P), so they contribute nothing.
+    # All K hypotheses stack on the contraction's output axis so the warp is
+    # ONE (W, Wp) x (Wp, K*C) matmul per row instead of K thin N=C matmuls —
+    # K*C (72 at stages 2-3) fills the MXU lane axis that C=8/16 leaves idle.
+    shifted = jnp.stack([jnp.roll(pad, -o, axis=2) for o in offsets], axis=3)
+    warped = jnp.einsum("bhxw,bhwm->bhxm",
+                        A, shifted.reshape(B, H, Wp, K * C))
+    warped = warped.reshape(B, H, W, K, C)
+    return jnp.sum(jnp.abs(feat_l[:, :, :, None, :] - warped), axis=-1)
 
 
 def soft_argmin(cost: jnp.ndarray, start: int, end: int,

@@ -17,6 +17,13 @@ msgpack. The probe runs `import orbax.checkpoint` in a *subprocess* first —
 on a machine with a degraded package filesystem the import can die with
 SIGBUS (unreadable mmap page), which no in-process try/except can contain.
 Override with `LWSNET_CKPT_BACKEND=orbax|msgpack`.
+
+Compatibility note: commit 68a62ab renamed model parameters (PreConvDW's
+depthwise conv became the explicit param 'dw_kernel', shifting its pointwise
+Conv's auto-number; BNReLUConv3D's 'Conv_0/kernel' became 'kernel';
+RefinementHead's output conv became 'out_kernel'). Checkpoints written
+before that commit do not load; none were ever published, so no migration
+shim is provided — the param tree here is the v1 format going forward.
 """
 
 from __future__ import annotations

@@ -34,9 +34,10 @@ def _jitter_stats(variables, rng):
 
 
 @pytest.mark.parametrize("case", [
-    # (B, H, W, D, layers, channels, start) — stage-1-like and stage-2-like
-    (2, 8, 12, 6, 2, 8, 0),
-    (1, 6, 10, 9, 1, 4, -4),
+    # (B, H, W, D, layers, channels, start)
+    (2, 8, 12, 6, 2, 8, 0),     # folded-D path ((D+2)*C <= 128)
+    (1, 6, 10, 9, 1, 4, -4),    # folded-D path, residual bins
+    (1, 8, 12, 6, 2, 24, 0),    # per-slice path ((D+2)*C = 192 > 128)
 ])
 def test_filter_soft_argmin_parity(rng, case):
     B, H, W, D, layers, channels, start = case
