@@ -111,9 +111,13 @@ def main() -> None:
     losses, epes = [], []
     orig = trainer.train_step
 
+    skipped = []
+
     def spy(state, l, r, g):
         state, aux = orig(state, l, r, g)
         losses.append(float(aux["loss"]))
+        if float(aux.get("finite", 1.0)) == 0.0:
+            skipped.append(len(losses) - 1)
         return state, aux
 
     trainer.train_step = spy
@@ -121,22 +125,32 @@ def main() -> None:
     final_epe = trainer.fit(args.epochs)
     wall = time.time() - t0
 
+    def num(x):
+        """Round, mapping non-finite values to None: bare NaN/Infinity is not
+        valid RFC-8259 JSON and must never reach a committed artifact."""
+        x = float(x)
+        return round(x, 3) if np.isfinite(x) else None
+
     result = {
         "device": jax.devices()[0].device_kind,
         "epochs": args.epochs,
         "steps": len(losses),
-        "initial_epe_px": round(float(epe0), 3),
-        "final_epe_px": round(float(final_epe), 3),
-        "best_epe_px": round(float(trainer.best_error), 3),
-        "first_loss": round(losses[0], 3),
-        "last_loss": round(losses[-1], 3),
-        "loss_curve_every_10": [round(x, 3) for x in losses[::10]],
+        "nonfinite_steps_skipped": skipped,
+        "initial_epe_px": num(epe0),
+        "final_epe_px": num(final_epe),
+        "best_epe_px": num(trainer.best_error),
+        "first_loss": num(losses[0]),
+        "last_loss": num(losses[-1]),
+        "loss_curve_every_10": [num(x) for x in losses[::10]],
         "train_wall_s": round(wall, 1),
     }
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result))
-    ok = result["best_epe_px"] < 1.5 and losses[-1] < losses[0] * 0.1
+        json.dump(result, f, indent=1, allow_nan=False)
+    print(json.dumps(result, allow_nan=False))
+    ok = (result["best_epe_px"] is not None
+          and result["final_epe_px"] is not None
+          and result["best_epe_px"] < 1.5
+          and np.isfinite(losses[-1]) and losses[-1] < losses[0] * 0.1)
     print("OVERFIT PROOF:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

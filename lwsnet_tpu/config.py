@@ -38,12 +38,14 @@ class ModelConfig:
     # True; the XLA module path is the training path, the correctness oracle,
     # and the sane CPU fallback.
     use_pallas: bool = True
-    # Pallas refinement granularity: "fused" = three chain kernels (tower,
-    # tower, head) with dw-sep layers composed onto the MXU — fastest;
-    # "layers" = one kernel per layer (seconds to compile); "chain" = the
-    # manual-DMA whole tower/head kernels (multi-minute Mosaic compile at
-    # full res — pair with the persistent compilation cache).
-    pallas_mode: str = "fused"
+    # Pallas refinement granularity: "layers" = one kernel per layer
+    # (seconds to compile — the default, so a cold-cache bench/driver run
+    # always completes); "fused" = three chain kernels (tower, tower, head)
+    # with dw-sep layers composed onto the MXU — fastest at runtime but an
+    # HOUR-class cold Mosaic compile (bench.py probes it in a deadlined
+    # subprocess); "chain" = the manual-DMA whole tower/head kernels
+    # (multi-minute compile).
+    pallas_mode: str = "layers"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept
@@ -96,6 +98,18 @@ class TrainConfig:
     # (reference: train.py:137 vs finetune.py:153).
     mask_min_disp: float = -jnp.inf
     mask_max_disp: float = jnp.inf
+    # Gradient clipping by global norm; 0 disables. The reference trains
+    # un-clipped in fp32 (reference: train.py:80); under bf16 compute the
+    # soft-argmin can saturate and spike the gradient, which un-clipped Adam
+    # turns into a permanently inflated second moment (observed: round-2
+    # OVERFIT_PROOF divergence). Clipping bounds the spike; it does not
+    # change converged behavior on well-conditioned steps.
+    grad_clip_norm: float = 5.0
+    # Skip (don't apply) parameter/optimizer/batch-stat updates from a step
+    # whose loss or gradients are non-finite. One NaN batch otherwise poisons
+    # the BN running statistics forever (eval-path NaN while training keeps
+    # "working" off batch stats — the round-2 failure signature).
+    skip_nonfinite_updates: bool = True
     save_path: str = "results/run"
     resume: str = ""
     pretrained: str = ""

@@ -64,11 +64,15 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
         else interpret
     dtype = cfg.dtype
 
+    assert 1 <= stages <= 4, stages  # same contract as LWSNet.__call__
+
     def forward(variables, left, right):
         # Mirrors LWSNet.__call__ (lwsnet_tpu/models/lwsnet.py) with Pallas
         # substitutions; equivalence is pinned by tests/test_pallas_refine.py.
         p, s = variables["params"], variables["batch_stats"]
         B, H, W, _ = left.shape
+        assert H % 8 == 0 and W % 8 == 0, (
+            f"input dims must be multiples of 8, got {H}x{W}")
         both = jnp.concatenate([left, right], axis=0).astype(dtype)
         feats = FeatureExtractor(cfg.feature_channels, dtype=dtype).apply(
             {"params": p["FeatureExtractor_0"],

@@ -126,11 +126,22 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                          h_real=h, w_real=w, interpret=interpret)
 
 
-def _fused_chunk(height: int) -> int:
-    """Row chunk for the 3-kernel fused mode. Must be >= the tower chain's
-    T8 = round8(1+2+4+8+16) = 32; 48 keeps the head kernel (two 32-ch input
-    streams + f32 accumulators) under the v5e VMEM budget."""
-    return 48
+def _fused_chunk(height: int, width: int) -> int:
+    """Row chunk for the 3-kernel fused mode: the largest chunk (capped at
+    48, the measured best at 368x1232 on v5e) whose head-kernel VMEM
+    footprint (two 32-ch input streams, Mosaic-pipelined x2, + f32
+    window/accumulator) fits the budget at this width. Never below the
+    tower chain's T8 = round8(1+2+4+8+16) = 32."""
+    wc = -(-width // 128) * 128
+    for chunk in (48, 40, 32):
+        # ~20 block-equivalents of a (32, chunk, wc) bf16 block: 2 streams
+        # x 3 input blocks x 2 buffering + double-buffered output + f32
+        # window value + tap accumulator + headroom.
+        if 20 * 32 * chunk * wc * 2 <= 100 * 1024 * 1024:
+            return chunk
+    raise ValueError(
+        f"no fused-mode row chunk >= 32 fits VMEM at width {width}; "
+        "use pallas_mode='layers'")
 
 
 def _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret):
@@ -138,7 +149,7 @@ def _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret):
     every dw-sep layer composed to a dense rank-1 conv on the MXU
     (`compose_dwsep`), intermediates VMEM-resident. Measured motivation in
     ops/pallas/refine.py (streamed chain kernel block comment)."""
-    chunk = _fused_chunk(H)
+    chunk = _fused_chunk(H, W)
 
     def tower(x, weights):
         entry, affs, dwks, pwks = weights

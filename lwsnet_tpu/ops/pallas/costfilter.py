@@ -307,6 +307,13 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
         -max_disp+1 per reference models/models.py:151).
     Returns:
       (B, H, W, 1) float32 expected disparity in bin units.
+
+    When (D+2)*channels > 128 (stage-1 shapes) the folded-D formulation's
+    banded weights would not fit VMEM, so the call routes to the per-slice
+    `_kernel`, whose dynamic 3-sublane read Mosaic only compiles in
+    INTERPRET mode — on real TPU that shape must use the XLA CostFilter3D
+    path instead (that is what `lwsnet_tpu.inference.make_forward` does).
+    A UserWarning fires for other callers who would hit the Mosaic error.
     """
     B, H, W, D = cost.shape
     S, ML, Lc, Lt = _geom(H, W)
@@ -323,6 +330,13 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
                             cmax=cmax, start=start, dtype=dtype,
                             interpret=interpret)
 
+    if not interpret:
+        import warnings
+        warnings.warn(
+            f"filter_soft_argmin: (D+2)*channels = {(D + 2) * cmax} > 128 "
+            "routes to the per-slice kernel, which does not compile on real "
+            "TPU (unaligned dynamic sublane read); use the XLA CostFilter3D "
+            "path for this shape", UserWarning, stacklevel=2)
     weights, (a0, b0) = _aug_weights(params, stats, n, dtype)
     v = _pack(cost.astype(dtype))
     mask = jnp.asarray(_pixel_mask(H, W), dtype)

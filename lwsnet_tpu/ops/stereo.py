@@ -15,10 +15,14 @@ Key TPU-first departures from the reference:
   right features makes the occlusion fill (`sum |feat_l|` on the occluded
   strip, reference: models/models.py:71) fall out of the same L1 expression,
   so the volume is one vectorized stack XLA can fuse.
-* The reference's residual volume materializes B*(2D-1) copies of the feature
-  maps (reference: models/models.py:86-99). We loop over the 2D-1 static
-  offsets instead, so peak memory is one cost slice per offset, and XLA fuses
-  the warp + L1 reduction per offset.
+* The reference's residual volume materializes B*(2D-1) batch-expanded copies
+  of the feature maps and runs grid_sample on each (reference:
+  models/models.py:86-99). Here the 2D-1 hypothesis warps become ONE dense
+  (W, Wp) x (Wp, K*C) matmul per row against a K-stacked shifted copy of the
+  padded right features — the K*C axis fills MXU lanes that C=8/16 leaves
+  idle. The trade: a (B, H, Wp, K, C) stacked operand (~K x the feature map,
+  like the reference's expansion) in exchange for gather-free MXU execution;
+  see `build_residual_volume` for the numbers.
 
 Volumes are laid out (B, H, W, D): D on the minor (lane) axis makes the
 softmax/soft-argmin a lane-local reduction, and the 3D-conv treats D as a

@@ -48,8 +48,12 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """Adam with Paddle's defaults (b1=0.9, b2=0.999, eps=1e-8,
-    reference: train.py:80)."""
-    return optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+    reference: train.py:80), preceded by global-norm gradient clipping when
+    `cfg.grad_clip_norm > 0` (see the TrainConfig field docs for why)."""
+    adam = optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+    if cfg.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
+    return adam
 
 
 def create_train_state(model: LWSNet, cfg: TrainConfig,

@@ -30,9 +30,17 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
     """Returns train_step(state, left, right, gt) -> (state, aux).
 
     aux = {"loss": scalar, "stage_losses": (num_stages,) de-weighted,
-           "lr": the learning rate this update used}  (the de-weighted
-    per-stage values are what the reference logs, reference: train.py:150;
-    the live lr is persisted in checkpoints, reference: train.py:117).
+           "lr": the learning rate this update used,
+           "grad_norm": pre-clip global gradient norm,
+           "finite": 1.0 iff this step's loss+grads were finite}  (the
+    de-weighted per-stage values are what the reference logs,
+    reference: train.py:150; the live lr is persisted in checkpoints,
+    reference: train.py:117).
+
+    When `cfg.skip_nonfinite_updates`, a step whose loss or gradients are
+    non-finite applies NO update: params, optimizer state, and batch-norm
+    running statistics all carry over unchanged (one NaN batch must not
+    poison the BN running stats — they feed every eval forever after).
     """
     tx = make_optimizer(cfg, steps_per_epoch)
     schedule = make_lr_schedule(cfg, steps_per_epoch)
@@ -52,11 +60,22 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
                                    left, right, gt)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # One scalar covers every leaf: any inf/nan gradient makes the
+        # global norm non-finite; combined with the loss it gates the step.
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        if cfg.skip_nonfinite_updates:
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            new_stats = keep(new_stats, state.batch_stats)
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=new_opt)
         aux = {"loss": loss, "stage_losses": per_stage,
-               "lr": schedule(state.step)}
+               "lr": schedule(state.step), "grad_norm": grad_norm,
+               "finite": finite.astype(jnp.float32)}
         return new_state, aux
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -62,6 +62,48 @@ def test_lr_schedule_milestones():
     np.testing.assert_allclose(float(sched2(10 ** 6)), 5e-4, rtol=1e-6)
 
 
+def test_nonfinite_step_applies_no_update(setup):
+    """A NaN batch must leave params, optimizer state, AND batch-norm running
+    stats untouched (one poisoned BN stat corrupts every later eval)."""
+    model, tcfg, state = setup
+    step = make_train_step(model, tcfg, steps_per_epoch=10, donate=False)
+    l, r, g = synth_batch()
+    state1, _ = step(state, l, r, g)  # one good step to settle state
+
+    bad_l = l.at[0, 0, 0, 0].set(jnp.nan)
+    state2, aux = step(state1, bad_l, r, g)
+    assert float(aux["finite"]) == 0.0
+    for a, b in zip(jax.tree.leaves((state1.params, state1.opt_state,
+                                     state1.batch_stats)),
+                    jax.tree.leaves((state2.params, state2.opt_state,
+                                     state2.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state1.step) + 1  # schedule still advances
+
+    # ... and a following good step proceeds normally from intact state.
+    state3, aux3 = step(state2, l, r, g)
+    assert float(aux3["finite"]) == 1.0
+    assert np.isfinite(float(aux3["loss"]))
+
+
+def test_grad_clip_bounds_update_norm(setup):
+    """With grad_clip_norm set, the post-clip update magnitude is bounded even
+    when the raw gradient norm is huge (scaled-up GT inflates the loss)."""
+    model, tcfg, state = setup
+    clipped = make_train_step(model, TrainConfig(
+        lr=1e-3, mask_max_disp=1e9, grad_clip_norm=1.0),
+        steps_per_epoch=10, donate=False)
+    l, r, g = synth_batch()
+    state_c, aux = clipped(state, l, r, g * 1e4)
+    assert float(aux["grad_norm"]) > 1.0  # raw norm really was over the clip
+    delta = optax.global_norm(jax.tree.map(
+        lambda a, b: a - b, state_c.params, state.params))
+    # Adam normalizes per-parameter, so bound via the lr * sqrt(#leaves) worst
+    # case rather than the clip norm itself; the point is: no blow-up.
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    assert float(delta) <= 1e-3 * math.sqrt(n_params) * 1.01
+
+
 def test_eval_step_weights_padded_batches(setup):
     model, tcfg, state = setup
     estep = make_eval_step(model)
