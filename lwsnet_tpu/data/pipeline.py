@@ -8,9 +8,12 @@ for multi-host TPU training:
   `index[process_index::process_count]` of the (epoch-shuffled) example list,
   so hosts never duplicate IO and the global batch is assembled by pjit from
   per-host local batches.
-* **Static shapes**: training drops the trailing partial batch (a ragged
-  batch would retrigger XLA compilation); evaluation pads the final batch and
-  returns a per-example validity mask so metrics stay exact.
+* **Static shapes, lockstep hosts**: training drops the trailing partial
+  batch (a ragged batch would retrigger XLA compilation); evaluation pads the
+  final batch and returns a per-example validity mask so metrics stay exact.
+  The per-epoch batch COUNT is derived from the global example count so it is
+  identical on every host — a host running one extra jitted collective step
+  would deadlock the mesh (see `batches_per_epoch`).
 * **Thread-pool decode + bounded prefetch queue**: PIL/PFM decode overlaps
   with device compute; threads (not processes) are enough because decode
   releases the GIL inside zlib/numpy.
@@ -114,16 +117,25 @@ class StereoPipeline:
         return order[self.process_index::self.process_count]
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_order(0))
+        """Per-host batch count, identical on EVERY host.
+
+        Derived from the GLOBAL example count, not this host's slice: per-host
+        slice lengths differ by one when process_count doesn't divide n, and a
+        host running one more jitted collective step than its peers deadlocks
+        the mesh. Training uses the minimum local count floor-divided (every
+        host drops to the shortest), eval the maximum ceil-divided (short
+        hosts pad with valid=0 examples).
+        """
+        n, pc = len(self.index), self.process_count
         if self.training:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (n // pc) // self.batch_size
+        return -(-(-(-n // pc)) // self.batch_size)  # ceil(ceil(n/pc)/bs)
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         order = self._epoch_order(epoch)
-        if self.training:
-            order = order[: len(order) // self.batch_size * self.batch_size]
-        if len(order) == 0:
+        total = self.batches_per_epoch()
+        order = order[: total * self.batch_size]
+        if total == 0:
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -137,25 +149,27 @@ class StereoPipeline:
             return _load_example(self.index, int(i), self.training,
                                  self.crop, self.kitti, rng)
 
+        # Shape donor for padding rows: duplicated real example, masked out by
+        # valid=0 (a host whose slice is empty — n < process_count — still
+        # emits `total` all-padding batches so collective step counts match).
+        donor = int(order[0]) if len(order) else 0
+
         def producer():
             try:
-                for start in range(0, len(order), self.batch_size):
+                for b in range(total):
                     if stop.is_set():
                         return
-                    ids = order[start:start + self.batch_size]
+                    ids = list(order[b * self.batch_size:
+                                     (b + 1) * self.batch_size])
+                    n_real = len(ids)
+                    ids += [donor] * (self.batch_size - n_real)
                     examples = list(pool.map(load_one, enumerate(ids)))
-                    ls = [e[0] for e in examples]
-                    rs = [e[1] for e in examples]
-                    ds = [e[2] for e in examples]
-                    valid = np.ones(len(ids), dtype=np.float32)
-                    # Pad ragged eval batches to the static batch size.
-                    while len(ls) < self.batch_size:
-                        ls.append(np.zeros_like(ls[0]))
-                        rs.append(np.zeros_like(rs[0]))
-                        ds.append(np.zeros_like(ds[0]))
-                        valid = np.append(valid, 0.0).astype(np.float32)
-                    out_q.put(Batch(np.stack(ls), np.stack(rs),
-                                    np.stack(ds), valid))
+                    valid = (np.arange(self.batch_size) < n_real
+                             ).astype(np.float32)
+                    out_q.put(Batch(np.stack([e[0] for e in examples]),
+                                    np.stack([e[1] for e in examples]),
+                                    np.stack([e[2] for e in examples]),
+                                    valid))
                 out_q.put(None)
             except BaseException as e:  # surface decode errors to the consumer
                 out_q.put(e)

@@ -26,11 +26,21 @@ from lwsnet_tpu.config import MeshConfig
 
 def maybe_initialize_distributed() -> None:
     """Initialize JAX's multi-host runtime when launched under a multi-host
-    coordinator (no-op in single-process runs)."""
-    if jax.process_count() > 1:
+    coordinator (no-op in single-process runs).
+
+    MUST run before any other call that touches the JAX backend
+    (`jax.devices()`, `jax.process_count()`, any computation): the first
+    backend touch initializes a single-process runtime and a later
+    `jax.distributed.initialize()` cannot fix it. The launch-mode decision
+    here therefore reads ONLY environment variables; idempotence is checked
+    against `jax.distributed.global_state` (plain module state, no backend
+    touch)."""
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return  # single-process launch
+    from jax._src import distributed as _distributed
+    if _distributed.is_initialized():
         return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    jax.distributed.initialize()
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(),

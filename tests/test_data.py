@@ -180,6 +180,55 @@ def test_pipeline_host_sharding_disjoint(kitti_mini):
     assert len(seen[0] | seen[1]) == 6
 
 
+def _mini_index(root):
+    return StereoIndex(
+        left=sorted(os.path.join(root, "image_2", f) for f in
+                    os.listdir(os.path.join(root, "image_2"))),
+        right=sorted(os.path.join(root, "image_3", f) for f in
+                     os.listdir(os.path.join(root, "image_3"))),
+        disp=sorted(os.path.join(root, "disp_occ_0", f) for f in
+                    os.listdir(os.path.join(root, "disp_occ_0"))),
+    )
+
+
+@pytest.mark.parametrize("training,bs", [(False, 4), (True, 2), (False, 2)])
+def test_pipeline_lockstep_batch_count_across_hosts(kitti_mini, training, bs):
+    """Every simulated host must run the SAME number of batches (a host with
+    one extra jitted collective step deadlocks the mesh). 6 examples over 4
+    hosts gives ragged local slices (2,2,1,1) — the regression case."""
+    idx = _mini_index(kitti_mini)
+    counts, reported, total_valid = [], [], 0.0
+    for pi in range(4):
+        pipe = StereoPipeline(idx, batch_size=bs, training=training,
+                              crop=(32, 64), kitti=True, seed=5,
+                              process_index=pi, process_count=4)
+        batches = list(pipe.epoch(0))
+        counts.append(len(batches))
+        reported.append(pipe.batches_per_epoch())
+        total_valid += sum(float(b.valid.sum()) for b in batches)
+        for b in batches:  # static shapes even on all-padding batches
+            assert b.left.shape == (bs, 32, 64, 3)
+    assert len(set(counts)) == 1, counts
+    assert counts == reported
+    if not training:
+        assert total_valid == 6.0  # eval covers every example exactly once
+
+
+def test_pipeline_eval_more_hosts_than_examples(kitti_mini):
+    """n < process_count: slice-empty hosts still emit all-padding batches."""
+    idx = _mini_index(kitti_mini)
+    counts = []
+    for pi in range(8):
+        pipe = StereoPipeline(idx, batch_size=2, training=False,
+                              crop=(32, 64), kitti=True,
+                              process_index=pi, process_count=8)
+        batches = list(pipe.epoch(0))
+        counts.append(len(batches))
+        if pi >= 6:  # empty slice -> padding-only batch, valid all zero
+            assert all(float(b.valid.sum()) == 0.0 for b in batches)
+    assert len(set(counts)) == 1 and counts[0] == 1
+
+
 def test_crops_and_normalize():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (10, 12, 3)).astype(np.float32)
