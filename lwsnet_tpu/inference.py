@@ -90,26 +90,18 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
                 wflow = stereo.resize_bilinear(preds[-1], fh, fw) * (fh / H)
                 cost = stereo.build_residual_volume(fl, fr, wflow, D)
                 start = -D + 1
-            # Stages 2-3 (D=9, C=8): fused folded-D Pallas kernel — filter +
-            # skip + regression, volume VMEM-resident. Stage 1 (D=24, C=32)
-            # stays XLA for now: its per-slice kernel needs a dynamic
-            # 3-sublane read that Mosaic requires 8-aligned (see
-            # ops/pallas/costfilter.py; kernel + parity tests kept for the
-            # aligned-block rework).
+            # All three cost stages run as Pallas kernels: stages 2-3
+            # (D=9, C=8) the fused folded-D kernel — filter + skip +
+            # regression, volume VMEM-resident; stage 1 (D=24, C=32) the
+            # disparity-gridded per-layer kernels (the dispatch lives in
+            # ops/pallas/costfilter.filter_soft_argmin).
             channels = cfg.channels_3d * cfg.growth_rate[scale]
             subtree = {"params": p[f"CostFilter3D_{scale}"],
                        "batch_stats": s[f"CostFilter3D_{scale}"]}
-            if (cost.shape[-1] + 2) * channels <= 128:
-                d = costfilter.filter_soft_argmin(
-                    cost, subtree["params"], subtree["batch_stats"],
-                    layers=cfg.layers_3d, channels=channels, start=start,
-                    dtype=dtype, interpret=interp)
-            else:
-                from lwsnet_tpu.models.blocks import CostFilter3D
-                filt = CostFilter3D(
-                    cfg.layers_3d, channels, impl=cfg.conv3d_impl,
-                    dtype=dtype).apply(subtree, cost, False)
-                d = stereo.soft_argmin(filt + cost, start, D)
+            d = costfilter.filter_soft_argmin(
+                cost, subtree["params"], subtree["batch_stats"],
+                layers=cfg.layers_3d, channels=channels, start=start,
+                dtype=dtype, interpret=interp)
             d = d * (H / fh)
             d_up = stereo.resize_bilinear(d, H, W)
             preds.append(d_up if scale == 0 else d_up + preds[-1])

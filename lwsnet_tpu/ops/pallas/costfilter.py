@@ -4,8 +4,11 @@ The reference filters each cost volume with a 6-layer BN+ReLU+Conv3D stack,
 adds the input volume back, and regresses disparity as the expectation under
 softmax(-cost) (reference: models/submodules.py:190-221 wired at
 models/models.py:136-156). In XLA that is 6 HBM round trips of the volume
-plus separate softmax/expectation ops; this kernel runs the whole chain in
-ONE Pallas call with the volume VMEM-resident end to end.
+plus separate softmax/expectation ops. Here, stages 2-3 run the whole chain
+in ONE Pallas call with the volume VMEM-resident end to end (folded-D
+kernel); stage-1 shapes (whose (D+2)*C rows outgrow the folded form) run as
+per-layer disparity-gridded kernels with full-contraction MXU matmuls
+(`_dgrid_call`).
 
 Layout ("flat-HW"): the (B, H, W, D) volume becomes (B, D+2, Lt) — disparity
 slices on the sublane axis (one zero pad slice each end), and the (H, W)
@@ -132,56 +135,121 @@ def _aug_weights(params, stats, n_layers, dtype):
     return weights, affs[0]
 
 
-def _kernel(act0_ref, v_ref, mask_ref, *rest, D, Ci_list, Co_list, S, ML, Lc,
-            start):
-    """rest = n_layers weight refs, o_ref, bufA, bufB (scratch)."""
-    n = len(Ci_list)
-    w_refs, o_ref, bufA, bufB = rest[:n], rest[n], rest[n + 1], rest[n + 2]
-    mask = mask_ref[0]  # (1, Lt)
-    mask_c = mask[:, ML:ML + Lc]  # (1, Lc), aligned with matmul outputs
-    offs = [(dy - 1) * S + (dx - 1) for dy in range(3) for dx in range(3)]
+def _dgrid_kernel(xm_ref, xc_ref, xp_ref, mask_ref, w_ref, b_ref, o_ref, *,
+                  D, S, ML, Lc, relu):
+    """One conv3d layer, gridded over (batch, padded disparity slice).
 
-    bufA[:] = jnp.zeros(bufA.shape, bufA.dtype)
-    bufB[:] = jnp.zeros(bufB.shape, bufB.dtype)
+    The three activation refs are halo views of the SAME array at slice
+    o-1 / o / o+1 (clamped index maps — the clamped blocks feed only the
+    zero-write branch). Every slice/offset below is static, so this lowers
+    on real TPU Mosaic for any (D, C) — unlike a dynamic 3-sublane read,
+    which must be 8-aligned.
 
-    bufs = [bufA, bufB]
-    for k in range(n):
-        ci, co = Ci_list[k], Co_list[k]
-        src = act0_ref if k == 0 else bufs[(k + 1) % 2]
-        dst = bufs[k % 2]
-        last = k == n - 1
+    Per spatial tap (dy, dx), the three DEPTH taps K-stack into one
+    (3*Ci, Lc) operand: they share the tap's lane shift, so their vector
+    layouts agree (Mosaic refuses to concatenate slices with mismatched
+    lane offsets — i.e. different dx shifts — on a non-concat dimension).
+    9 accumulated matmuls at contraction depth 3*Ci per output slice."""
+    o = pl.program_id(1)
+    co, Lt = o_ref.shape[2], o_ref.shape[3]
 
-        def body(d, _, src=src, dst=dst, w_ref=w_refs[k], ci=ci, co=co,
-                 last=last):
-            block = src[:, pl.ds(d, 3), :]  # (Csrc, 3, Lt): slices d-1..d+1
-            taps = [block[:ci, dz, ML + off:ML + off + Lc]
-                    for dz in range(3) for off in offs]
-            stack = jnp.concatenate(
-                taps + [jnp.ones((1, Lc), block.dtype)], axis=0)
-            y = jax.lax.dot_general(
-                w_ref[:], stack, (((1,), (0,)), ((), ())),
+    @pl.when((o == 0) | (o == D + 1))
+    def _pad_slice():
+        # D-axis zero padding for the NEXT layer's halo reads.
+        o_ref[0, 0] = jnp.zeros((co, Lt), o_ref.dtype)
+
+    @pl.when((o > 0) & (o < D + 1))
+    def _real_slice():
+        mask_c = mask_ref[0][:, ML:ML + Lc]  # (1, Lc)
+        offs = [(dy - 1) * S + (dx - 1)
+                for dy in range(3) for dx in range(3)]
+        blocks = [xm_ref[0, 0], xc_ref[0, 0], xp_ref[0, 0]]  # (Ci, Lt) each
+        acc = None
+        for t, off in enumerate(offs):
+            sl = jnp.concatenate(
+                [blk[:, ML + off:ML + off + Lc] for blk in blocks], axis=0)
+            term = jax.lax.dot_general(
+                w_ref[t], sl, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=(jax.lax.Precision.HIGHEST
-                           if stack.dtype == jnp.float32 else None))
-            if not last:
-                y = jnp.maximum(y, 0) * mask_c
-            dst[0:co, pl.ds(d + 1, 1), ML:ML + Lc] = (
-                y.astype(dst.dtype).reshape(co, 1, Lc))
-            return 0
+                           if sl.dtype == jnp.float32 else None))
+            acc = term if acc is None else acc + term
+        y = acc + b_ref[:].astype(jnp.float32)  # (co, 1) bias broadcast
+        if relu:
+            # Gap/margin lanes must stay zero: relu(bias) would otherwise
+            # leak into the next layer's shifted taps.
+            y = jnp.maximum(y, 0) * mask_c
+        o_ref[0, 0, :, 0:ML] = jnp.zeros((co, ML), o_ref.dtype)
+        o_ref[0, 0, :, ML:ML + Lc] = y.astype(o_ref.dtype)
+        o_ref[0, 0, :, ML + Lc:Lt] = jnp.zeros((co, Lt - ML - Lc),
+                                               o_ref.dtype)
 
-        jax.lax.fori_loop(0, D, body, 0, unroll=False)
 
-    # identity skip + soft-argmin over the D valid slices
-    final = bufs[(n - 1) % 2]
-    cost = (final[0, 1:D + 1, :] + v_ref[0, 1:D + 1, :]).astype(jnp.float32)
-    m = jnp.min(cost, axis=0, keepdims=True)
-    e = jnp.exp(m - cost) * mask  # softmax(-cost) numerator, pixels only
-    den = jnp.sum(e, axis=0, keepdims=True)
-    # Mosaic iota must be integer-typed; cast to f32 for the expectation.
-    bins = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0).astype(jnp.float32)
-            + jnp.float32(start))
-    num = jnp.sum(e * bins, axis=0, keepdims=True)
-    o_ref[0] = num / (den + jnp.float32(1e-20))
+def _dgrid_call(cost, params, stats, *, n, Ci_list, Co_list, start, dtype,
+                interpret):
+    """Stage-1-class shapes ((D+2)*C > 128): one pallas_call per layer,
+    gridded over disparity slices; identity skip + soft-argmin in XLA.
+
+    The inter-layer activations round-trip HBM (~13 MB each at stage-1
+    size, ~0.15 ms total) — the price for a formulation whose per-block
+    program is tiny (seconds-class Mosaic compile) and whose matmuls run
+    at full contraction depth."""
+    from lwsnet_tpu.ops import stereo
+
+    B, H, W, D = cost.shape
+    S, ML, Lc, Lt = _geom(H, W)
+    weights, (a0, b0) = _aug_weights(params, stats, n, dtype)
+    v = _pack(cost.astype(dtype))  # (B, D+2, Lt)
+    mask = jnp.asarray(_pixel_mask(H, W), dtype)  # (1, 1, Lt)
+    act = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
+           * _dpad_mask(D, v.dtype)).astype(dtype)[:, :, None, :]
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    for k in range(n):
+        ci, co = Ci_list[k], Co_list[k]
+        last = k == n - 1
+        # (Co, 27*Ci + 1) column order (kd, kh, kw, ci) -> per-spatial-tap
+        # (9, Co, 3*Ci) depth-stacked weights + separate (Co, 1) bias,
+        # matching the kernel's per-tap K-stack.
+        w = weights[k]
+        wt = jnp.stack([
+            jnp.concatenate([w[:, (kd * 9 + t) * ci:(kd * 9 + t + 1) * ci]
+                             for kd in range(3)], axis=1)
+            for t in range(9)])
+        bias = w[:, 27 * ci:]
+        act = pl.pallas_call(
+            functools.partial(_dgrid_kernel, D=D, S=S, ML=ML, Lc=Lc,
+                              relu=not last),
+            grid=(B, D + 2),
+            in_specs=[
+                pl.BlockSpec((1, 1, ci, Lt),
+                             lambda b, o: (b, jnp.maximum(o - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ci, Lt), lambda b, o: (b, o, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ci, Lt),
+                             lambda b, o: (b, jnp.minimum(o + 1, D + 1), 0,
+                                           0),
+                             memory_space=pltpu.VMEM),
+                vm, vm, vm,
+            ],
+            out_specs=pl.BlockSpec((1, 1, co, Lt),
+                                   lambda b, o: (b, o, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, D + 2, co, Lt), jnp.float32 if last else jnp.dtype(dtype)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(act, act, act, mask, wt, bias)
+
+    # Unpack flat-HW -> (B, H, W, D); skip + soft-argmin are cheap XLA ops
+    # (the softmax is a lane-local reduction in this layout).
+    flat = act[:, 1:D + 1, 0, :]  # (B, D, Lt) f32
+    x = flat[:, :, ML:ML + (H + 2) * S].reshape(B, D, H + 2, S)
+    filt = jnp.transpose(x[:, :, 1:H + 1, 1:W + 1], (0, 2, 3, 1))
+    return stereo.soft_argmin(filt + cost.astype(jnp.float32),
+                              start, start + D)
 
 
 def _banded_weights(params, stats, n_layers, D, dtype):
@@ -236,56 +304,111 @@ def _banded_weights(params, stats, n_layers, D, dtype):
     return weights, affs[0]
 
 
-def _folded_kernel(act0_ref, v_ref, mask_ref, *rest, D, Co_list, S, ML, Lc,
-                   start):
-    """Folded-D variant: D rides the matmul row axis (requires
-    (D+2)*max(C) + 1 rows); each layer is 9 tap matmuls with f32
-    accumulation, no in-kernel loop over disparity slices."""
-    n = len(Co_list)
-    w_refs, o_ref, bufA, bufB = rest[:n], rest[n], rest[n + 1], rest[n + 2]
-    mask = mask_ref[0]  # (1, Lt)
-    mask_c = mask[:, ML:ML + Lc]
-    offs = [(dy - 1) * S + (dx - 1) for dy in range(3) for dx in range(3)]
+def _geom_chunk(H: int, W: int):
+    """(row stride, chunk lanes, chunk count) of the chunked flat-HW layout:
+    the (H+2)*(W+2) flat plane is tiled into NC lane chunks of CH, with one
+    zero chunk of margin each side. CH >= S+1 so a conv tap never reaches
+    beyond the adjacent chunk."""
+    S = W + 2
+    CH = max(1024, _round128(S + 2))
+    NC = -(-(S * (H + 2)) // CH)
+    return S, CH, NC
 
-    # Scratch lanes outside [ML, ML+Lc) and rows above a layer's row count
-    # are read by later taps/layers: keep them zero.
-    bufA[:] = jnp.zeros(bufA.shape, bufA.dtype)
-    bufB[:] = jnp.zeros(bufB.shape, bufB.dtype)
 
-    bufs = [bufA, bufB]
-    src = act0_ref[0]  # (rows0, Lt) value: activated volume + ones row
-    cost = None
-    for k in range(n):
-        co = Co_list[k]
-        ro = (D + 2) * co
-        dst = bufs[k % 2]
+def _pack_chunk(vol: jnp.ndarray, CH: int, NC: int) -> jnp.ndarray:
+    """(B, H, W, D) -> (B, D+2, (NC+2)*CH) chunked flat-HW, zeros in pads."""
+    B, H, W, D = vol.shape
+    S = W + 2
+    x = jnp.transpose(vol, (0, 3, 1, 2))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    x = x.reshape(B, D + 2, (H + 2) * S)
+    return jnp.pad(x, ((0, 0), (0, 0),
+                       (CH, (NC + 1) * CH - (H + 2) * S)))
+
+
+@functools.lru_cache(maxsize=16)
+def _pixel_mask_chunk(H: int, W: int, CH: int, NC: int):
+    """(1, 1, (NC+2)*CH) numpy {0,1} mask of real-pixel lanes."""
+    S = W + 2
+    m = np.zeros((H + 2, S), np.float32)
+    m[1:H + 1, 1:W + 1] = 1.0
+    flat = np.zeros((1, 1, (NC + 2) * CH), np.float32)
+    flat[0, 0, CH:CH + (H + 2) * S] = m.reshape(-1)
+    return flat
+
+
+def _folded_kernel(xm_ref, xc_ref, xp_ref, w_ref, o_ref, *,
+                   NC, S, CH, ro, relu):
+    """One folded-D conv layer over one lane chunk.
+
+    D rides the matmul row axis (rows = (D+2)*C, plus a trailing mask row
+    that both carries the bias column's multiplicand and supplies the
+    gap-lane mask). The three refs are halo views of the same array at
+    chunk c-1 / c / c+1; their lane-concat is offset-clean because CH is a
+    multiple of 128. 9 tap matmuls with f32 accumulation per chunk."""
+    c = pl.program_id(1)
+    rows = o_ref.shape[1]  # ro + 1 (mask row)
+
+    @pl.when((c == 0) | (c == NC + 1))
+    def _margin():
+        o_ref[0] = jnp.zeros((rows, CH), o_ref.dtype)
+
+    @pl.when((c > 0) & (c < NC + 1))
+    def _core():
+        window = jnp.concatenate(
+            [xm_ref[0], xc_ref[0], xp_ref[0]], axis=1)
+        offs = [(dy - 1) * S + (dx - 1)
+                for dy in range(3) for dx in range(3)]
         acc = None
         for t, off in enumerate(offs):
-            sl = src[:, ML + off:ML + off + Lc]
+            sl = window[:, CH + off:2 * CH + off]
             term = jax.lax.dot_general(
-                w_refs[k][t], sl, (((1,), (0,)), ((), ())),
+                w_ref[t], sl, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=(jax.lax.Precision.HIGHEST
                            if sl.dtype == jnp.float32 else None))
             acc = term if acc is None else acc + term
-        if k == n - 1:
-            cost = acc  # ((D+2)*1, Lc) raw f32
-            break
-        y = jnp.maximum(acc, 0) * mask_c
-        dst[0:ro, ML:ML + Lc] = y.astype(dst.dtype)
-        dst[dst.shape[0] - 1, :] = mask[0]  # ones row (bias carrier)
-        src = dst[:, :]
+        mask_c = window[-1:, CH:2 * CH]
+        y = jnp.maximum(acc, 0) * mask_c if relu else acc
+        o_ref[0, 0:ro] = y.astype(o_ref.dtype)
+        o_ref[0, ro:ro + 1] = mask_c.astype(o_ref.dtype)
 
-    # skip + soft-argmin over the D valid slices
-    cost = cost[1:D + 1] + v_ref[0, 1:D + 1, ML:ML + Lc].astype(jnp.float32)
-    m = jnp.min(cost, axis=0, keepdims=True)
-    e = jnp.exp(m - cost) * mask_c
-    den = jnp.sum(e, axis=0, keepdims=True)
-    bins = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
-            .astype(jnp.float32) + jnp.float32(start))
-    num = jnp.sum(e * bins, axis=0, keepdims=True)
-    o_ref[0] = jnp.zeros(o_ref.shape[1:], jnp.float32)
-    o_ref[0, :, ML:ML + Lc] = num / (den + jnp.float32(1e-20))
+
+def _folded_last_kernel(xm_ref, xc_ref, xp_ref, v_ref, w_ref, o_ref, *,
+                        NC, S, CH, D, start):
+    """Final folded layer + identity skip + soft-argmin, per lane chunk.
+    The softmax over D is a row reduction of the (D+2, CH) accumulator —
+    no cross-chunk state, so the regression fuses into the same grid."""
+    c = pl.program_id(1)
+
+    @pl.when((c == 0) | (c == NC + 1))
+    def _margin():
+        o_ref[0] = jnp.zeros((1, CH), o_ref.dtype)
+
+    @pl.when((c > 0) & (c < NC + 1))
+    def _core():
+        window = jnp.concatenate(
+            [xm_ref[0], xc_ref[0], xp_ref[0]], axis=1)
+        offs = [(dy - 1) * S + (dx - 1)
+                for dy in range(3) for dx in range(3)]
+        acc = None
+        for t, off in enumerate(offs):
+            sl = window[:, CH + off:2 * CH + off]
+            term = jax.lax.dot_general(
+                w_ref[t], sl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if sl.dtype == jnp.float32 else None))
+            acc = term if acc is None else acc + term
+        mask_c = window[-1:, CH:2 * CH].astype(jnp.float32)
+        cost = acc[1:D + 1] + v_ref[0, 1:D + 1].astype(jnp.float32)
+        m = jnp.min(cost, axis=0, keepdims=True)
+        e = jnp.exp(m - cost) * mask_c
+        den = jnp.sum(e, axis=0, keepdims=True)
+        bins = (jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+                .astype(jnp.float32) + jnp.float32(start))
+        num = jnp.sum(e * bins, axis=0, keepdims=True)
+        o_ref[0] = num / (den + jnp.float32(1e-20))
 
 
 def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
@@ -308,15 +431,17 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
     Returns:
       (B, H, W, 1) float32 expected disparity in bin units.
 
-    When (D+2)*channels > 128 (stage-1 shapes) the folded-D formulation's
-    banded weights would not fit VMEM, so the call routes to the per-slice
-    `_kernel`, whose dynamic 3-sublane read Mosaic only compiles in
-    INTERPRET mode — on real TPU that shape must use the XLA CostFilter3D
-    path instead (that is what `lwsnet_tpu.inference.make_forward` does).
-    A UserWarning fires for other callers who would hit the Mosaic error.
+    Two TPU-compilable formulations, picked by shape:
+
+    * (D+2)*channels <= 128 (stages 2-3): the folded-D whole-volume kernel —
+      one pallas_call, volume VMEM-resident end to end, banded weights.
+    * larger (stage 1: D=24, C=32): the disparity-gridded per-layer kernels
+      (`_dgrid_call`) — activations round-trip HBM between the 6 layers, but
+      every slice is static so Mosaic compiles it for real (the previous
+      per-slice whole-volume kernel needed an unaligned dynamic sublane read
+      and was interpret-only).
     """
     B, H, W, D = cost.shape
-    S, ML, Lc, Lt = _geom(H, W)
     n = layers + 2
     Ci_list = [1] + [channels] * (layers + 1)
     Co_list = [channels] * (layers + 1) + [1]
@@ -330,87 +455,75 @@ def filter_soft_argmin(cost: jnp.ndarray, params, stats, *, layers: int,
                             cmax=cmax, start=start, dtype=dtype,
                             interpret=interpret)
 
-    if not interpret:
-        import warnings
-        warnings.warn(
-            f"filter_soft_argmin: (D+2)*channels = {(D + 2) * cmax} > 128 "
-            "routes to the per-slice kernel, which does not compile on real "
-            "TPU (unaligned dynamic sublane read); use the XLA CostFilter3D "
-            "path for this shape", UserWarning, stacklevel=2)
-    weights, (a0, b0) = _aug_weights(params, stats, n, dtype)
-    v = _pack(cost.astype(dtype))
-    mask = jnp.asarray(_pixel_mask(H, W), dtype)
-    act0 = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
-            * _dpad_mask(D, v.dtype)).astype(dtype)
-
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    grid_specs = dict(
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, D + 2, Lt), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D + 2, Lt), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lt), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [vm] * n,
-        out_specs=pl.BlockSpec((1, 1, Lt), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((cmax, D + 2, Lt), jnp.dtype(dtype)),
-            pltpu.VMEM((cmax, D + 2, Lt), jnp.dtype(dtype)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, D=D, Ci_list=tuple(Ci_list),
-                          Co_list=tuple(Co_list), S=S, ML=ML, Lc=Lc,
-                          start=start),
-        out_shape=jax.ShapeDtypeStruct((B, 1, Lt), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
-        interpret=interpret,
-        **grid_specs,
-    )(act0, v, mask, *weights)
-    return _unpack(out, H, W)
+    return _dgrid_call(cost, params, stats, n=n, Ci_list=Ci_list,
+                       Co_list=Co_list, start=start, dtype=dtype,
+                       interpret=interpret)
 
 
 def _folded_call(cost, params, stats, *, n, Co_list, cmax, start, dtype,
                  interpret):
-    """pallas_call plumbing for `_folded_kernel` (see `filter_soft_argmin`)."""
+    """Chunked pallas_call plumbing for the folded-D kernels: one call per
+    layer, each gridded over (batch, lane chunk), the final layer fusing
+    skip + soft-argmin. Per-chunk code size is bounded by CH (seconds-class
+    Mosaic compile at any resolution; the previous whole-volume single call
+    scaled its vector-register footprint with H*W and took tens of minutes
+    at 1/2 res). The 4 identical mid layers share one Mosaic module."""
     B, H, W, D = cost.shape
-    S, ML, Lc, Lt = _geom(H, W)
-    rows = (D + 2) * cmax + 1
+    S, CH, NC = _geom_chunk(H, W)
+    lanes = (NC + 2) * CH
 
     weights, (a0, b0) = _banded_weights(params, stats, n, D, dtype)
-    v = _pack(cost.astype(dtype))  # (B, D+2, Lt)
-    mask = jnp.asarray(_pixel_mask(H, W), dtype)
-    act0 = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
-            * _dpad_mask(D, v.dtype)).astype(dtype)
-    ones_row = jnp.broadcast_to(mask, (B, 1, Lt))
-    act0 = jnp.concatenate([act0, ones_row], axis=1)  # (B, D+3, Lt)
+    v = _pack_chunk(cost.astype(dtype), CH, NC)  # (B, D+2, lanes)
+    mask = jnp.asarray(_pixel_mask_chunk(H, W, CH, NC), dtype)
+    act = (jnp.maximum(v * a0[0] + b0[0], 0) * mask[0]
+           * _dpad_mask(D, v.dtype)).astype(dtype)
+    mask_row = jnp.broadcast_to(mask, (B, 1, lanes))
+    act = jnp.concatenate([act, mask_row], axis=1)  # (B, (D+2)*1+1, lanes)
+
+    def views(rows):
+        return [
+            pl.BlockSpec((1, rows, CH),
+                         lambda b, c: (b, 0, jnp.maximum(c - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, CH), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, CH),
+                         lambda b, c: (b, 0, jnp.minimum(c + 1, NC + 1)),
+                         memory_space=pltpu.VMEM),
+        ]
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    for k in range(n - 1):
+        ri, ro = act.shape[1], (D + 2) * Co_list[k]
+        act = pl.pallas_call(
+            functools.partial(_folded_kernel, NC=NC, S=S, CH=CH, ro=ro,
+                              relu=True),
+            grid=(B, NC + 2),
+            in_specs=views(ri) + [vm],
+            out_specs=pl.BlockSpec((1, ro + 1, CH),
+                                   lambda b, c: (b, 0, c),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, ro + 1, lanes),
+                                           jnp.dtype(dtype)),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(act, act, act, weights[k])
+
     out = pl.pallas_call(
-        functools.partial(_folded_kernel, D=D, Co_list=tuple(Co_list), S=S,
-                          ML=ML, Lc=Lc, start=start),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, D + 3, Lt), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D + 2, Lt), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Lt), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [vm] * n,
-        out_specs=pl.BlockSpec((1, 1, Lt), lambda b: (b, 0, 0),
+        functools.partial(_folded_last_kernel, NC=NC, S=S, CH=CH, D=D,
+                          start=start),
+        grid=(B, NC + 2),
+        in_specs=views(act.shape[1]) + [
+            pl.BlockSpec((1, D + 2, CH), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM), vm],
+        out_specs=pl.BlockSpec((1, 1, CH), lambda b, c: (b, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, Lt), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((rows, Lt), jnp.dtype(dtype)),
-            pltpu.VMEM((rows, Lt), jnp.dtype(dtype)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((B, 1, lanes), jnp.float32),
+        compiler_params=cparams,
         interpret=interpret,
-    )(act0, v, mask, *weights)
-    return _unpack(out, H, W)
+    )(act, act, act, v, weights[n - 1])
+
+    # Unpack: drop the margin chunk, reshape the flat plane.
+    x = out[:, 0, CH:CH + (H + 2) * S].reshape(B, H + 2, S)
+    return x[:, 1:H + 1, 1:W + 1, None]

@@ -37,7 +37,9 @@ def _jitter_stats(variables, rng):
     # (B, H, W, D, layers, channels, start)
     (2, 8, 12, 6, 2, 8, 0),     # folded-D path ((D+2)*C <= 128)
     (1, 6, 10, 9, 1, 4, -4),    # folded-D path, residual bins
-    (1, 8, 12, 6, 2, 24, 0),    # per-slice path ((D+2)*C = 192 > 128)
+    (1, 8, 12, 6, 2, 24, 0),    # d-grid path ((D+2)*C = 192 > 128)
+    (1, 16, 24, 24, 4, 32, 0),  # d-grid path at the real stage-1 config
+                                # (D=24, C=32, 6 layers; small spatial)
 ])
 def test_filter_soft_argmin_parity(rng, case):
     B, H, W, D, layers, channels, start = case
