@@ -1,0 +1,100 @@
+"""Real-TPU Pallas-vs-XLA parity check on the golden pair (PARITY_TPU.json).
+
+The interpret-mode parity tests (tests/test_pallas_refine.py,
+tests/test_pallas_costfilter.py) pin kernel semantics on CPU, but cannot see
+Mosaic lowering bugs. This runs BOTH stage-4 paths on the actual chip —
+the XLA module path (the training path / correctness oracle) and the Pallas
+kernel path (the inference default) — on the reference's committed stereo
+pair, and records per-stage max-abs / mean-abs deltas plus a PASS verdict.
+
+    python examples/parity_tpu.py [--out PARITY_TPU.json]
+
+PASS bar: every stage finite on both paths, and mean |delta| < 2% of the
+XLA stage's value span (bf16 compute: the two paths round differently
+per-op, so bit-exactness is not expected; f32 runs use a 0.1% bar).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+GOLDEN_DIR = "/root/reference/reference"
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="PARITY_TPU.json")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lwsnet_tpu import LWSNet, ModelConfig, TrainConfig
+    from lwsnet_tpu.data import transforms as T
+    from lwsnet_tpu.inference import make_forward
+    from lwsnet_tpu.training.state import create_train_state
+
+    cfg = ModelConfig(compute_dtype=args.dtype)
+    model = LWSNet(cfg)
+    state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0),
+                               (64, 128))
+    left = T.normalize(T.bottom_right_crop(
+        T.load_image(os.path.join(GOLDEN_DIR, "left_test.png")), 368, 1232))
+    right = T.normalize(T.bottom_right_crop(
+        T.load_image(os.path.join(GOLDEN_DIR, "right_test.png")), 368, 1232))
+    import jax.numpy as jnp
+    l, r = jnp.asarray(left[None]), jnp.asarray(right[None])
+
+    fn_pallas = jax.jit(make_forward(model, num_stages=4, use_pallas=True))
+    fn_xla = jax.jit(make_forward(model, num_stages=4, use_pallas=False))
+    outs_p = jax.block_until_ready(fn_pallas(state.variables, l, r))
+    outs_x = jax.block_until_ready(fn_xla(state.variables, l, r))
+
+    bar = 0.001 if args.dtype == "float32" else 0.02
+    stages, ok = [], True
+    for i, (a, b) in enumerate(zip(outs_x, outs_p)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        finite = bool(np.isfinite(a).all() and np.isfinite(b).all())
+        span = float(a.max() - a.min()) + 1e-9
+        mean_d = float(np.abs(a - b).mean())
+        stage_ok = finite and mean_d < bar * span
+        ok &= stage_ok
+        stages.append({
+            "stage": i + 1, "finite": finite,
+            "xla_span": round(span, 4),
+            "max_abs_delta": round(float(np.abs(a - b).max()), 4),
+            "mean_abs_delta": round(mean_d, 5),
+            "mean_delta_pct_of_span": round(100.0 * mean_d / span, 3),
+            "ok": stage_ok,
+        })
+
+    result = {
+        "device": jax.devices()[0].device_kind,
+        "backend": jax.default_backend(),
+        "input": "golden pair, 368x1232 bottom-right crop",
+        "compute_dtype": args.dtype,
+        "pallas_mode": cfg.pallas_mode,
+        "bar": f"mean |delta| < {bar * 100:g}% of XLA span per stage",
+        "stages": stages,
+        "pass": ok,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1, allow_nan=False)
+    print(json.dumps(result, allow_nan=False))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

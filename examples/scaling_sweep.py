@@ -34,6 +34,7 @@ def main() -> None:
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--per-device-batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--out", type=str, default="scaling_sweep.json")
     args = p.parse_args()
 
     if args.cpu:
@@ -93,14 +94,16 @@ def main() -> None:
         print(f"devices={n:2d} global_batch={batch:3d} "
               f"step={dt * 1000:8.2f} ms  {fps:8.1f} frames/s")
 
+    effs = {}
     if len(results) > 1:
         base_n, base_dt, _ = results[0]
         print("\n# weak-scaling efficiency vs smallest mesh:")
         for n, dt, fps in results[1:]:
             eff = (base_dt / dt) * 100.0  # ideal weak scaling: equal step time
+            effs[n] = round(eff, 1)
             print(f"devices={n:2d}: {eff:6.1f} %")
 
-    with open("scaling_sweep.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump({
             "backend": jax.default_backend(),
             "note": ("virtual CPU meshes share one host's cores: a program/"
@@ -111,8 +114,9 @@ def main() -> None:
             "per_device_batch": args.per_device_batch,
             "points": [{"devices": n, "step_ms": dt * 1000,
                         "frames_per_s": fps} for n, dt, fps in results],
+            "weak_scaling_efficiency_pct": effs,
         }, f, indent=2)
-    print("wrote scaling_sweep.json")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

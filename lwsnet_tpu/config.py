@@ -38,14 +38,14 @@ class ModelConfig:
     # True; the XLA module path is the training path, the correctness oracle,
     # and the sane CPU fallback.
     use_pallas: bool = True
-    # Pallas refinement granularity: "layers" = one kernel per layer
-    # (seconds to compile — the default, so a cold-cache bench/driver run
-    # always completes); "fused" = three chain kernels (tower, tower, head)
-    # with dw-sep layers composed onto the MXU — fastest at runtime but an
-    # HOUR-class cold Mosaic compile (bench.py probes it in a deadlined
-    # subprocess); "chain" = the manual-DMA whole tower/head kernels
-    # (multi-minute compile).
-    pallas_mode: str = "layers"
+    # Pallas refinement granularity: "rows" = row-canvas per-layer kernels
+    # (channels on matmul rows, 2-D vector values only) — the default:
+    # ~13 s cold Mosaic compile AND the fastest measured mode (4.9 ms vs
+    # 8.1 ms "layers" at 368x1232 on v5e). "layers" = planar per-layer
+    # kernels (~270 s cold compile; every op unrolls over C); "fused" =
+    # three chain kernels (HOUR-class cold compile); "chain" = whole
+    # tower/head kernels (multi-minute compile).
+    pallas_mode: str = "rows"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept

@@ -178,6 +178,40 @@ def _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret):
     return K.layer_uncanvas(res, chunk, H, W)
 
 
+def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
+    """Row-canvas per-layer refinement (ops/pallas/refine_rows): the default
+    inference mode — seconds-class cold compile, fastest measured."""
+    from lwsnet_tpu.ops.pallas import refine_rows as R
+
+    S, NR = R.canvas_geom(H, W)
+
+    def tower(x_nhwc, params, stats):
+        entry, affs, dwks, pwks = _tower_weights(params, stats, dtype)
+        y = R.to_canvas(x_nhwc, S, NR, dtype)
+        y = R.dense_layer(y, entry, dilation=1, S=S, NR=NR,
+                          interpret=interpret)
+        for i, d in enumerate(TOWER_DILATIONS):
+            y = R.dwsep_layer(y, affs[i], dwks[i], pwks[i], dilation=d,
+                              S=S, NR=NR, interpret=interpret)
+        return y
+
+    tl = tower(left, p["RefinementTower_0"], s["RefinementTower_0"])
+    td = tower(disp, p["RefinementTower_1"], s["RefinementTower_1"])
+    F = tl.shape[1] - 1
+    cat = jnp.concatenate([tl[:, :F], td[:, :F], tl[:, F:]], axis=1)
+
+    aff0, dense, affs, dwks, pwks, out_k = _head_weights(
+        p["RefinementHead_0"], s["RefinementHead_0"], dtype)
+    y = R.dense_layer(cat, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
+                      affine=aff0, interpret=interpret)
+    for i, d in enumerate(HEAD_DILATIONS):
+        y = R.dwsep_layer(y, affs[i], dwks[i], pwks[i], dilation=d,
+                          S=S, NR=NR, interpret=interpret)
+    y = R.dense_layer(y, out_k.astype(dtype), dilation=1, S=S, NR=NR,
+                      out_dtype=jnp.float32, interpret=interpret)
+    return R.from_canvas(y, H, W, S, NR, 1).astype(jnp.float32)
+
+
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                     *, dtype=jnp.bfloat16, interpret: bool = False,
                     mode: str = "fused") -> jnp.ndarray:
@@ -188,18 +222,18 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     uses folded running statistics.
 
     mode:
+      "rows"   — row-canvas per-layer kernels (ops/pallas/refine_rows):
+        channels on matmul rows, 2-D vector values only, vertical taps as
+        whole-row lane shifts. Seconds-class cold compile AND the fastest
+        measured mode; the default.
       "fused"  — THREE chain kernels (tower, tower, head): dw-sep layers
         composed into dense rank-1 convs on the MXU, intermediates
-        VMEM-resident (`fused_chain`). Fastest; per-kernel fixed costs
-        (window assembly + canvas streaming, ~0.5 ms each) are paid 3 times
-        instead of 11.
-      "layers" — one Pallas kernel per layer (fused_dense / fused_dwsep),
-        canvases round-trip HBM between layers (~36 MB bf16 at 368x1232).
-        Compiles in seconds.
+        VMEM-resident (`fused_chain`). HOUR-class cold Mosaic compile.
+      "layers" — one planar Pallas kernel per layer (fused_dense /
+        fused_dwsep), canvases round-trip HBM between layers. ~270 s cold
+        compile (every op unrolls over the C axis).
       "chain"  — whole tower/head in one kernel, activations VMEM-resident
-        (fused_tower / fused_head). Fewer HBM round trips but a multi-minute
-        Mosaic compile at full resolution; use with the persistent
-        compilation cache.
+        (fused_tower / fused_head). Multi-minute Mosaic compile.
 
     Args:
       variables: the full LWSNet {"params", "batch_stats"} tree.
@@ -208,9 +242,11 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
-    assert mode in ("fused", "layers", "chain"), mode
+    assert mode in ("rows", "fused", "layers", "chain"), mode
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
+    if mode == "rows":
+        return _rows_mode(p, s, left, disp, H, W, dtype, interpret)
     xl = jnp.transpose(left.astype(dtype), (0, 3, 1, 2))
     xd = jnp.transpose(disp.astype(dtype), (0, 3, 1, 2))
     tw_l = _tower_weights(p["RefinementTower_0"], s["RefinementTower_0"],

@@ -40,8 +40,8 @@ def _jittered_variables(model, left, right, rng):
 
 @pytest.fixture(scope="module",
                 params=["float32-layers", "float32-chain", "float32-fused",
-                        "bfloat16-layers", "bfloat16-chain",
-                        "bfloat16-fused"])
+                        "float32-rows", "bfloat16-layers", "bfloat16-chain",
+                        "bfloat16-fused", "bfloat16-rows"])
 def stage4_pair(request):
     """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo."""
     dtype, mode = request.param.split("-")
