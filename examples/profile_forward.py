@@ -1,12 +1,20 @@
 """Per-component device timing of the 4-stage forward at 368x1232.
 
-Times the full forward at num_stages=1..4 (incremental stage costs) plus the
-isolated hot ops from SURVEY.md §3.5, using the dispatch-cancelling
-`device_time` harness. Run on the real TPU.
+Times the production (Pallas) inference path and the XLA module path at
+num_stages=1..4 (incremental stage costs) plus the isolated hot ops from
+SURVEY.md §3.5, using the dispatch-cancelling `device_time` harness. Run on
+the real TPU.
+
+    python examples/profile_forward.py [--trace /tmp/lwsnet_trace]
+
+--trace additionally captures a `jax.profiler` trace of one warm production
+forward (view with TensorBoard / Perfetto; the per-stage `jax.named_scope`
+annotations in `make_forward` group the ops by cascade stage).
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -16,10 +24,21 @@ import numpy as np
 
 
 def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace", type=str, default="",
+                   help="directory for a jax.profiler trace of the "
+                        "production forward")
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
     from lwsnet_tpu import LWSNet, ModelConfig
+    from lwsnet_tpu.inference import make_forward
     from lwsnet_tpu.models.blocks import CostFilter3D
     from lwsnet_tpu.models.feature import FeatureExtractor
     from lwsnet_tpu.ops import stereo
@@ -39,9 +58,25 @@ def main() -> None:
 
     prev = 0.0
     for k in range(1, 5):
+        fwd = make_forward(model, num_stages=k)
+        ms = t(lambda l, r, fwd=fwd: fwd(variables, l, r), left, right)
+        print(f"pallas forward stages=1..{k}: {ms:8.3f} ms  "
+              f"(+{ms - prev:7.3f})")
+        prev = ms
+
+    if args.trace:
+        fwd4 = jax.jit(make_forward(model, num_stages=4))
+        jax.block_until_ready(fwd4(variables, left, right))  # warm
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(fwd4(variables, left, right))
+        print(f"wrote jax.profiler trace to {args.trace}")
+
+    prev = 0.0
+    for k in range(1, 5):
         ms = t(lambda l, r, k=k: model.apply(variables, l, r, train=False,
                                              num_stages=k), left, right)
-        print(f"forward stages=1..{k}: {ms:8.3f} ms  (+{ms - prev:7.3f})")
+        print(f"xla    forward stages=1..{k}: {ms:8.3f} ms  "
+              f"(+{ms - prev:7.3f})")
         prev = ms
 
     # Isolated components ---------------------------------------------------

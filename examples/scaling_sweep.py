@@ -35,6 +35,13 @@ def main() -> None:
     p.add_argument("--per-device-batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--out", type=str, default="scaling_sweep.json")
+    p.add_argument("--global-batch", type=int, default=0,
+                   help="fixed global batch -> STRONG scaling. On a "
+                        "shared-core virtual CPU mesh this is the "
+                        "meaningful number: total work is constant, so any "
+                        "step-time growth is GSPMD partition/collective "
+                        "overhead. (Weak scaling on one host cannot hold "
+                        "step time constant - n x the work, same silicon.)")
     args = p.parse_args()
 
     if args.cpu:
@@ -65,7 +72,9 @@ def main() -> None:
     for n in sizes:
         mcfg = MeshConfig()
         mesh = mesh_lib.make_mesh(mcfg, devices=jax.devices()[:n])
-        batch = n * args.per_device_batch
+        batch = args.global_batch if args.global_batch \
+            else n * args.per_device_batch
+        assert batch % n == 0, (batch, n)
         tcfg = TrainConfig(train_batch_size=batch, mask_max_disp=192.0)
         state = create_train_state(model, tcfg, jax.random.PRNGKey(0), (h, w),
                                    steps_per_epoch=100)
@@ -94,27 +103,42 @@ def main() -> None:
         print(f"devices={n:2d} global_batch={batch:3d} "
               f"step={dt * 1000:8.2f} ms  {fps:8.1f} frames/s")
 
+    mode = "strong" if args.global_batch else "weak"
     effs = {}
     if len(results) > 1:
         base_n, base_dt, _ = results[0]
-        print("\n# weak-scaling efficiency vs smallest mesh:")
+        print(f"\n# {mode}-scaling efficiency vs smallest mesh:")
         for n, dt, fps in results[1:]:
-            eff = (base_dt / dt) * 100.0  # ideal weak scaling: equal step time
+            # Ideal: equal step time for weak scaling; for strong scaling
+            # with a fixed global batch, dt should FALL as base*n0/n (on a
+            # shared-core CPU host it should stay equal: same total work).
+            if args.global_batch and jax.default_backend() != "cpu":
+                eff = (base_dt * base_n / (n * dt)) * 100.0
+            else:
+                eff = (base_dt / dt) * 100.0
             effs[n] = round(eff, 1)
             print(f"devices={n:2d}: {eff:6.1f} %")
 
+    if jax.default_backend() == "cpu":
+        note = ("virtual CPU mesh on one host's shared cores. "
+                + ("Fixed global batch: constant total work, so efficiency "
+                   "below 100% is GSPMD partition/collective overhead."
+                   if args.global_batch else
+                   "Weak scaling is NOT meaningful here (n x the work on "
+                   "the same silicon); use --global-batch."))
+    else:
+        note = f"real-device {mode} scaling"
     with open(args.out, "w") as f:
         json.dump({
             "backend": jax.default_backend(),
-            "note": ("virtual CPU meshes share one host's cores: a program/"
-                     "sharding validation, NOT a hardware scaling number"
-                     if jax.default_backend() == "cpu" else
-                     "real-device weak scaling"),
+            "mode": mode,
+            "note": note,
             "height": h, "width": w,
+            "global_batch": args.global_batch or None,
             "per_device_batch": args.per_device_batch,
             "points": [{"devices": n, "step_ms": dt * 1000,
                         "frames_per_s": fps} for n, dt, fps in results],
-            "weak_scaling_efficiency_pct": effs,
+            "efficiency_pct": effs,
         }, f, indent=2)
     print(f"wrote {args.out}")
 

@@ -80,37 +80,40 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
 
         preds = []
         for scale in range(min(stages, 3)):
-            fl, fr = feats[scale][:B], feats[scale][B:]
-            fh, fw = fl.shape[1], fl.shape[2]
-            D = cfg.max_disp_list[scale]
-            if scale == 0:
-                cost = stereo.build_cost_volume(fl, fr, D)
-                start = 0
-            else:
-                wflow = stereo.resize_bilinear(preds[-1], fh, fw) * (fh / H)
-                cost = stereo.build_residual_volume(fl, fr, wflow, D)
-                start = -D + 1
-            # All three cost stages run as Pallas kernels: stages 2-3
-            # (D=9, C=8) the fused folded-D kernel — filter + skip +
-            # regression, volume VMEM-resident; stage 1 (D=24, C=32) the
-            # disparity-gridded per-layer kernels (the dispatch lives in
-            # ops/pallas/costfilter.filter_soft_argmin).
-            channels = cfg.channels_3d * cfg.growth_rate[scale]
-            subtree = {"params": p[f"CostFilter3D_{scale}"],
-                       "batch_stats": s[f"CostFilter3D_{scale}"]}
-            d = costfilter.filter_soft_argmin(
-                cost, subtree["params"], subtree["batch_stats"],
-                layers=cfg.layers_3d, channels=channels, start=start,
-                dtype=dtype, interpret=interp)
-            d = d * (H / fh)
-            d_up = stereo.resize_bilinear(d, H, W)
-            preds.append(d_up if scale == 0 else d_up + preds[-1])
+            with jax.named_scope(f"stage{scale + 1}"):
+                fl, fr = feats[scale][:B], feats[scale][B:]
+                fh, fw = fl.shape[1], fl.shape[2]
+                D = cfg.max_disp_list[scale]
+                if scale == 0:
+                    cost = stereo.build_cost_volume(fl, fr, D)
+                    start = 0
+                else:
+                    wflow = stereo.resize_bilinear(preds[-1], fh, fw) \
+                        * (fh / H)
+                    cost = stereo.build_residual_volume(fl, fr, wflow, D)
+                    start = -D + 1
+                # All three cost stages run as Pallas kernels: stages 2-3
+                # (D=9, C=8) the fused folded-D kernel — filter + skip +
+                # regression, volume VMEM-resident; stage 1 (D=24, C=32) the
+                # disparity-gridded per-layer kernels (the dispatch lives in
+                # ops/pallas/costfilter.filter_soft_argmin).
+                channels = cfg.channels_3d * cfg.growth_rate[scale]
+                subtree = {"params": p[f"CostFilter3D_{scale}"],
+                           "batch_stats": s[f"CostFilter3D_{scale}"]}
+                d = costfilter.filter_soft_argmin(
+                    cost, subtree["params"], subtree["batch_stats"],
+                    layers=cfg.layers_3d, channels=channels, start=start,
+                    dtype=dtype, interpret=interp)
+                d = d * (H / fh)
+                d_up = stereo.resize_bilinear(d, H, W)
+                preds.append(d_up if scale == 0 else d_up + preds[-1])
 
         if stages == 4:
-            res = refine_pallas.refine_residual(
-                variables, left, preds[-1], dtype=dtype, interpret=interp,
-                mode=cfg.pallas_mode)
-            preds.append(preds[-1] + res)
+            with jax.named_scope("stage4_refinement"):
+                res = refine_pallas.refine_residual(
+                    variables, left, preds[-1], dtype=dtype,
+                    interpret=interp, mode=cfg.pallas_mode)
+                preds.append(preds[-1] + res)
         return [x.astype(jnp.float32) for x in preds]
 
     return forward
