@@ -54,29 +54,42 @@ def _make_looped(fn: Callable, n: int):
 
 
 def device_time(fn: Callable, *args, iters: int = 10,
-                warmup: bool = True, two_point: bool = True) -> float:
+                warmup: bool = True, two_point: bool = True,
+                repeats: int = 3) -> float:
     """Estimate per-call device seconds for fn(*args). The first positional
     arg must be an array (it gets the anti-hoisting perturbation).
 
     two_point=True compiles loops of N and 2N iterations and differences
     them (cancels dispatch/fetch overhead exactly, two compiles).
     two_point=False compiles one N-iteration loop and divides (one compile;
-    overhead inflates the result by ~RTT/N — use a larger N)."""
+    overhead inflates the result by ~RTT/N — use a larger N).
+
+    The measurement repeats `repeats` times and keeps the MINIMUM per-iter
+    difference: host-side scheduling stalls (a loaded host, a GC pause)
+    land in one wall-clock sample and poison a single difference — observed
+    as a 26x-slow reading while a CPU sweep saturated the host — but never
+    make a sample too FAST, so the min is the robust estimator."""
     f1 = _make_looped(fn, iters)
     if not two_point:
         if warmup:
             float(f1(*args))
-        t0 = time.perf_counter()
-        float(f1(*args))
-        return max((time.perf_counter() - t0) / iters, 1e-9)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            float(f1(*args))
+            best = min(best, time.perf_counter() - t0)
+        return max(best / iters, 1e-9)
     f2 = _make_looped(fn, 2 * iters)
     if warmup:
         float(f1(*args))
         float(f2(*args))
-    t0 = time.perf_counter()
-    float(f1(*args))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(f2(*args))
-    t2 = time.perf_counter() - t0
-    return max((t2 - t1) / iters, 1e-9)
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        float(f1(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f2(*args))
+        t2 = time.perf_counter() - t0
+        best = min(best, t2 - t1)
+    return max(best / iters, 1e-9)
