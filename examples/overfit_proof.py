@@ -53,8 +53,13 @@ def synth_pair(left: np.ndarray, rng: np.random.Generator):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--epochs", type=int, default=800)
     p.add_argument("--lr", type=float, default=1e-3)
+    # At a constant 1e-3 the loss descends to ~7 by step 300 then oscillates
+    # (Adam cycling on a 4-image set); the decays break the cycle and let the
+    # network actually overfit, same mechanism as the reference's finetune
+    # MultiStepDecay (reference: finetune.py:82-84).
+    p.add_argument("--milestones", type=int, nargs="*", default=[250, 450, 650])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
     p.add_argument("--workdir", type=str, default="/tmp/overfit_proof")
     args = p.parse_args()
@@ -95,6 +100,7 @@ def main() -> None:
     mcfg = ModelConfig()  # production bf16
     tcfg = TrainConfig(lr=args.lr, epochs=args.epochs, train_batch_size=4,
                        eval_batch_size=4, mask_min_disp=0.0,
+                       lr_milestones=tuple(args.milestones), lr_gamma=0.1,
                        save_path=os.path.join(args.workdir, "ckpt"),
                        log_every=10)
     train_pipe = StereoPipeline(index, 4, training=True, crop=(H, W),
@@ -134,6 +140,8 @@ def main() -> None:
     result = {
         "device": jax.devices()[0].device_kind,
         "epochs": args.epochs,
+        "lr": args.lr,
+        "lr_milestones": list(args.milestones),
         "steps": len(losses),
         "nonfinite_steps_skipped": skipped,
         "initial_epe_px": num(epe0),

@@ -55,9 +55,12 @@ def canvas_geom(H: int, W: int):
 
 
 def _block_rows(d: int) -> int:
-    """Row-block height for dilation d: a multiple of d covering the dy
-    reach so the halo views stay exactly d rows deep."""
-    return max(8, 2 * d)
+    """Row-block height for dilation d: a multiple of 2d (the halo views'
+    block unit) that keeps the grid short. 32 rows for every dilation =
+    NR/32 grid steps per layer (NR is always a multiple of 32): measured
+    faster than the minimal max(8, 2d) blocks, whose 52-step grids at
+    d<=4 were dominated by per-step overhead."""
+    return max(32, 2 * d)
 
 
 def to_canvas(x: jnp.ndarray, S: int, NR: int, dtype) -> jnp.ndarray:
