@@ -5,17 +5,21 @@ baseline 10 FPS on a Titan Xp, README.md:136).
 Designed to ALWAYS print its JSON line inside a wall-clock budget
 (default 480 s, env BENCH_BUDGET_S), cold cache included:
 
-  1. The headline path is measured first, with the seconds-to-compile
-     default config (pallas_mode="layers").
-  2. Everything else — per-stage FPS, the XLA-only path, the hour-class
-     "fused" refinement mode — is opportunistic: each step runs only if
-     enough budget remains, and the fused mode is compiled in a SUBPROCESS
-     with a hard deadline so a cold Mosaic compile can never hang the run.
-     If the fused probe lands and is faster, it becomes the headline.
+  1. The headline path is measured first, with the shipped default config
+     (pallas_mode="rows", ~13 s cold Mosaic compile).
+  2. Everything else — per-stage FPS, the XLA-only path, the train-step
+     timing — is opportunistic: each step runs only if enough budget
+     remains. (The hour-class whole-chain kernel modes were deleted in
+     round 4; nothing here can hang on a cold Mosaic compile anymore.)
 
 Timing uses `lwsnet_tpu.utils.timing.device_time`: the forward runs inside a
 single jitted fori_loop (async dispatch and tunnel round trips cannot fake
-the number), two-point differenced to cancel dispatch overhead.
+the number), two-point differenced to cancel dispatch overhead, iteration
+counts auto-scaled so sub-ms programs accumulate enough loop time to
+measure. Per-stage numbers are cross-checked for monotonicity — the stage-k
+program strictly contains the stage-(k-1) program, so its time must not be
+smaller; a violation is re-measured at higher iters and, if it persists,
+recorded in `per_stage_monotonicity`.
 
 MFU uses the analytical conv FLOP count (`lwsnet_tpu.utils.flops`) — NOT
 XLA's cost_analysis, which omits custom-call/Pallas FLOPs.
@@ -26,16 +30,16 @@ Details go to BENCH_DETAIL.json.
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
-import subprocess
-import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 10.0  # Titan Xp, all 4 stages (reference README.md:136)
+# Pretrain wall-time baseline: ~18 h for 10 SceneFlow epochs at batch 8
+# (reference README.md:90-95); see `train_projection` below.
+BASELINE_PRETRAIN_H = 18.0
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
@@ -60,50 +64,28 @@ def _setup_jax():
     return jax
 
 
-def _measure_stage4(pallas_mode: str, use_pallas: bool = True,
-                    iters: int = 10) -> float:
-    """Seconds per 4-stage forward at 368x1232, batch 1."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    from lwsnet_tpu import LWSNet, ModelConfig
-    from lwsnet_tpu.inference import make_forward
+def _measure(fn, *args, min_loop_s: float = 0.25, max_iters: int = 400):
+    """device_time with auto-scaled iteration count: a 10-iter probe sizes
+    the loop so its total device time is >= min_loop_s, which keeps sub-ms
+    programs (stages 1-2 run at ~1 ms) from drowning in per-loop noise."""
     from lwsnet_tpu.utils.timing import device_time
 
-    cfg = dataclasses.replace(ModelConfig(), pallas_mode=pallas_mode)
-    model = LWSNet(cfg)
-    h, w = 368, 1232
-    rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
-    right = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), left, right, train=False)
-    fwd = make_forward(model, num_stages=4, use_pallas=use_pallas)
-    return device_time(lambda l, r: fwd(variables, l, r), left, right,
-                       iters=iters)
-
-
-def _probe_main(mode: str) -> None:
-    """Subprocess entry: measure one stage-4 variant, print one JSON line."""
-    _setup_jax()
-    sec = _measure_stage4(mode)
-    print(json.dumps({"mode": mode, "sec": sec}))
+    sec = device_time(fn, *args, iters=10)
+    if sec * 10 < min_loop_s:
+        iters = min(max_iters, max(10, int(np.ceil(min_loop_s / sec))))
+        sec = device_time(fn, *args, iters=iters)
+    return sec
 
 
 def main() -> None:
     jax = _setup_jax()
-    import dataclasses
-
     import jax.numpy as jnp
 
     from lwsnet_tpu import LWSNet, ModelConfig
     from lwsnet_tpu.inference import make_forward
     from lwsnet_tpu.utils import flops as flops_lib
-    from lwsnet_tpu.utils.timing import device_time
 
-    cfg = ModelConfig()  # bf16, Pallas on, pallas_mode="layers" (seconds-compile)
+    cfg = ModelConfig()  # bf16, Pallas on, pallas_mode="rows"
     model = LWSNet(cfg)
     h, w, batch = 368, 1232, 1
 
@@ -122,10 +104,9 @@ def main() -> None:
     # 1. HEADLINE FIRST: the shipped default config, 4 stages. Everything
     #    after this point is optional detail.
     fwd4 = make_forward(model, num_stages=4)
-    sec4 = device_time(lambda l, r: fwd4(variables, l, r), left, right,
-                       iters=10) / batch
+    sec4 = _measure(lambda l, r: fwd4(variables, l, r), left, right) / batch
     detail["stage4_fps"] = round(1.0 / sec4, 2)
-    best_sec, best_mode = sec4, cfg.pallas_mode
+    stage_sec = {4: sec4}
 
     # MFU from the analytical conv FLOP count (free: no extra compiles).
     flops = flops_lib.forward_flops(cfg, h, w, batch=batch, num_stages=4)
@@ -144,52 +125,89 @@ def main() -> None:
             detail["per_stage_skipped"] = f"budget (stage {k}+)"
             break
         fwd = make_forward(model, num_stages=k)
-        sec = device_time(lambda l, r: fwd(variables, l, r), left, right,
-                          iters=10) / batch
-        detail[f"stage{k}_fps"] = round(1.0 / sec, 2)
+        stage_sec[k] = _measure(lambda l, r: fwd(variables, l, r),
+                                left, right) / batch
+        detail[f"stage{k}_fps"] = round(1.0 / stage_sec[k], 2)
+
+    # Monotonicity cross-check: time(stage k) >= time(stage k-1) because
+    # the k-stage program strictly contains the (k-1)-stage program. A
+    # violation means a bad sample; re-measure both at forced-high iters.
+    violations = []
+    for k in (2, 3, 4):
+        if k not in stage_sec or (k - 1) not in stage_sec:
+            continue
+        if stage_sec[k] < stage_sec[k - 1] and _remaining() > 90:
+            for j in (k - 1, k):
+                fwd = make_forward(model, num_stages=j)
+                stage_sec[j] = _measure(lambda l, r: fwd(variables, l, r),
+                                        left, right,
+                                        min_loop_s=0.5) / batch
+                detail[f"stage{j}_fps"] = round(1.0 / stage_sec[j], 2)
+        if stage_sec[k] < stage_sec[k - 1]:
+            violations.append(f"stage{k} faster than stage{k - 1}")
+    detail["per_stage_monotonicity"] = violations if violations else "ok"
+    if 4 in stage_sec:  # keep headline consistent with any re-measurement
+        sec4 = stage_sec[4]
+        detail["stage4_fps"] = round(1.0 / sec4, 2)
+        if peak:
+            detail["mfu_pct"] = round(100.0 * flops / sec4 / peak, 3)
 
     # 3. XLA-only stage-4 path: keeps the Pallas win measurable.
     if _remaining() > 120:
         fwd_xla = make_forward(model, num_stages=4, use_pallas=False)
-        sec_xla = device_time(lambda l, r: fwd_xla(variables, l, r),
-                              left, right, iters=10) / batch
+        sec_xla = _measure(lambda l, r: fwd_xla(variables, l, r),
+                           left, right) / batch
         detail["stage4_fps_no_pallas"] = round(1.0 / sec_xla, 2)
     else:
         detail["xla_path_skipped"] = "budget"
 
-    # 4. The "fused" refinement mode (hour-class cold Mosaic compile) in a
-    #    subprocess with a hard deadline: warm-cache it lands in seconds and
-    #    upgrades the headline; cold it is killed without hurting the run.
-    probe_budget = _remaining() - 60
-    if os.environ.get("BENCH_SKIP_FUSED") != "1" and probe_budget > 90:
+    # 4. Training step at the pretrain recipe shape (256x512, batch 8,
+    #    bf16) — the reference trains this recipe in ~18 h for 10 epochs
+    #    on a Titan Xp (README.md:90-95); the projection below compares.
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1" and _remaining() > 150:
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--probe",
-                 "fused"],
-                capture_output=True, text=True, timeout=probe_budget,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
-            res = json.loads(line)
-            sec_fused = float(res["sec"]) / batch
-            detail["stage4_fps_fused"] = round(1.0 / sec_fused, 2)
-            if sec_fused < best_sec:
-                best_sec, best_mode = sec_fused, "fused"
-                if peak:
-                    detail["mfu_pct"] = round(
-                        100.0 * flops / sec_fused / peak, 3)
-        except (subprocess.TimeoutExpired, ValueError, KeyError,
-                IndexError, json.JSONDecodeError):
-            detail["stage4_fps_fused"] = "probe timed out or failed"
-    else:
-        detail["fused_probe_skipped"] = "budget or BENCH_SKIP_FUSED"
+            from lwsnet_tpu.config import TrainConfig
+            from lwsnet_tpu.training.state import create_train_state
+            from lwsnet_tpu.training.steps import make_train_step
 
-    detail["headline_mode"] = best_mode
+            th, tw, tb = 256, 512, 8
+            tcfg = TrainConfig(mask_max_disp=192.0)
+            state = create_train_state(model, tcfg, jax.random.PRNGKey(0),
+                                       (th, tw), steps_per_epoch=1000)
+            step = make_train_step(model, tcfg, 1000, donate=False)
+            tl = jnp.asarray(rng.standard_normal((tb, th, tw, 3)),
+                             jnp.float32)
+            tr = jnp.asarray(rng.standard_normal((tb, th, tw, 3)),
+                             jnp.float32)
+            tg = jnp.asarray(
+                rng.uniform(1.0, 100.0, (tb, th, tw)), jnp.float32)
+
+            def run(l, r):
+                _, aux = step(state, l, r, tg)
+                return aux["loss"]
+
+            sec_tr = _measure(run, tl, tr)
+            detail["train_step_ms_256x512_b8"] = round(sec_tr * 1e3, 3)
+            # SceneFlow pretrain projection: the reference corpus indexes
+            # 35,454 train pairs (SURVEY.md §2 #17); 10 epochs at batch 8 =
+            # 44,320 steps. Dataloading overlaps compute (host threads).
+            steps_total = 10 * (35454 // tb)
+            hours = steps_total * sec_tr / 3600
+            detail["pretrain_projection_h"] = round(hours, 2)
+            detail["pretrain_projection_vs_baseline"] = round(
+                BASELINE_PRETRAIN_H / hours, 1)
+        except Exception as e:  # never lose the headline to a train issue
+            detail["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        detail["train_step_skipped"] = "budget or BENCH_SKIP_TRAIN"
+
+    detail["headline_mode"] = cfg.pallas_mode
     detail["elapsed_s"] = round(time.monotonic() - _T0, 1)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    fps = 1.0 / best_sec
+    fps = 1.0 / sec4
     print(json.dumps({
         "metric": "4stage_inference_fps_368x1232",
         "value": round(fps, 2),
@@ -199,11 +217,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    p = argparse.ArgumentParser()
-    p.add_argument("--probe", type=str, default=None,
-                   help="internal: measure one pallas_mode and exit")
-    args = p.parse_args()
-    if args.probe:
-        _probe_main(args.probe)
-    else:
-        main()
+    main()

@@ -26,34 +26,44 @@ import numpy as np
 
 GOLDEN_LEFT = "/root/reference/reference/left_test.png"
 H, W = 256, 512  # the reference's train crop (reference: dataloader.py:61)
+MARGIN = 48      # right-view sampling margin beyond the left crop
 
 
-def synth_pair(left: np.ndarray, rng: np.random.Generator):
-    """Given a left image (H, W, 3) float [0,1], synthesize a smooth
-    disparity field and the right view right(x) = left(x + d(x)) so that
-    warping right by d recovers left — i.e. d is the true disparity."""
+def synth_pair(strip: np.ndarray, rng: np.random.Generator):
+    """Given a source strip (H, W+MARGIN, 3) float [0,1], synthesize a
+    smooth strictly-positive disparity field and the views
+    left = strip[:, :W], right(x) = strip(x + d(x)) — so warping right by d
+    recovers left, i.e. d is the true disparity.
+
+    The field stays in (2, 44] ⊂ (0, MARGIN): strictly positive (the EPE
+    mask `gt < 192` — reference train.py:190 — counts every pixel, and the
+    loss mask `gt > 0` must not silently drop any), and small enough that
+    every right-view sample lands inside the strip, so the GT is exact and
+    valid at EVERY pixel (an earlier version zeroed out-of-frame GT, and
+    those zeros dominated the reported EPE as full-magnitude errors)."""
+    assert strip.shape[1] == W + MARGIN, strip.shape
+    left = np.ascontiguousarray(strip[:, :W])
     yy, xx = np.meshgrid(np.linspace(0, 3, H), np.linspace(0, 3, W),
                          indexing="ij")
-    a, b, c = rng.uniform(5, 25), rng.uniform(0, 8), rng.uniform(0, 8)
+    a, b, c = rng.uniform(18, 28), rng.uniform(0, 8), rng.uniform(0, 8)
     disp = a + b * np.sin(yy + rng.uniform(0, 6)) \
         + c * np.cos(xx + rng.uniform(0, 6))
     disp = disp.astype(np.float32)
 
-    # right[y, x] = left[y, x + disp[y, x]] (linear interp, clamped)
+    # right[y, x] = strip[y, x + disp[y, x]] (linear interp, always in-frame)
     pos = np.arange(W, dtype=np.float32)[None, :] + disp
-    i0 = np.clip(np.floor(pos).astype(np.int64), 0, W - 1)
-    i1 = np.clip(i0 + 1, 0, W - 1)
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = i0 + 1
     w1 = (pos - np.floor(pos)).astype(np.float32)[..., None]
     rows = np.arange(H)[:, None]
-    right = left[rows, i0] * (1 - w1) + left[rows, i1] * w1
-    # GT invalid where the sample went out of frame
-    disp[pos > W - 1] = 0.0
-    return right.astype(np.float32), disp
+    right = strip[rows, i0] * (1 - w1) + strip[rows, i1] * w1
+    return left, right.astype(np.float32), disp
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=800)
+    p.add_argument("--pairs", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     # At a constant 1e-3 the loss descends to ~7 by step 300 then oscillates
     # (Adam cycling on a 4-image set); the decays break the cycle and let the
@@ -83,15 +93,15 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     lefts, rights, disps = [], [], []
-    for i in range(4):
+    for i in range(args.pairs):
         y0 = int(rng.integers(0, src.shape[0] - H + 1))
-        x0 = int(rng.integers(0, src.shape[1] - W + 1))
-        crop = src[y0:y0 + H, x0:x0 + W]
-        right, disp = synth_pair(crop, rng)
+        x0 = int(rng.integers(0, src.shape[1] - W - MARGIN + 1))
+        strip = src[y0:y0 + H, x0:x0 + W + MARGIN]
+        left, right, disp = synth_pair(strip, rng)
         lp = os.path.join(args.workdir, f"l_{i}.png")
         rp = os.path.join(args.workdir, f"r_{i}.png")
         dp = os.path.join(args.workdir, f"d_{i}.png")
-        write_png(lp, (crop * 255).astype(np.uint8))
+        write_png(lp, (left * 255).astype(np.uint8))
         write_png(rp, (right * 255).astype(np.uint8))
         write_png(dp, (disp * 256).astype(np.uint16))
         lefts.append(lp); rights.append(rp); disps.append(dp)

@@ -153,7 +153,13 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metadata: Dict[str, float],
              force: bool = False) -> None:
-        """Save state + metadata, overwriting the previous best."""
+        """Save state + metadata, overwriting the previous best.
+
+        Call from EVERY process in a multi-host job: the orbax backend's
+        save is a collective (each host persists its addressable shards and
+        process 0 commits the checkpoint); the msgpack backend gates on
+        process 0 internally. Callers must NOT add their own
+        process_index()==0 gate — that deadlocks the orbax path."""
         self._impl.save(state, metadata)
 
     def restore(self, state_template: TrainState

@@ -168,10 +168,16 @@ class Trainer:
         for epoch in range(self.start_epoch, epochs):
             self.train_epoch(epoch)
             error = self.evaluate()
-            if error < self.best_error and jax.process_index() == 0:
+            # `error` is identical on every process (the eval sums are
+            # all-reduced inside the jitted step), so this branch is taken
+            # in lockstep across hosts. EVERY process must call ckpt.save:
+            # the orbax backend is a collective (each host writes its
+            # addressable shards); the msgpack backend gates on process 0
+            # internally. Gating here would deadlock multi-host orbax saves.
+            if error < self.best_error:
                 self.best_error = error
                 self.ckpt.save(
-                    jax.device_get(self.state),
+                    self.state,
                     {"epoch": epoch, "lr": self.last_lr,
                      "error": error,
                      "time_cost": time.time() - self.start_time})

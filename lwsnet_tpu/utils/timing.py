@@ -64,11 +64,16 @@ def device_time(fn: Callable, *args, iters: int = 10,
     two_point=False compiles one N-iteration loop and divides (one compile;
     overhead inflates the result by ~RTT/N — use a larger N).
 
-    The measurement repeats `repeats` times and keeps the MINIMUM per-iter
-    difference: host-side scheduling stalls (a loaded host, a GC pause)
-    land in one wall-clock sample and poison a single difference — observed
-    as a 26x-slow reading while a CPU sweep saturated the host — but never
-    make a sample too FAST, so the min is the robust estimator."""
+    The measurement repeats `repeats` times and takes the MINIMUM of each
+    loop's wall time SEPARATELY before differencing: host-side scheduling
+    stalls (a loaded host, a GC pause) land in one wall-clock sample and
+    poison it high — observed as a 26x-slow reading while a CPU sweep
+    saturated the host — but never make a sample too FAST, so per-loop
+    minima are the robust estimators. (Taking the min of the per-repeat
+    DIFFERENCES t2 - t1 instead is wrong: one inflated t1 makes that
+    repeat's difference spuriously SMALL and the min keeps it — the round-3
+    bench reported a 2-stage program faster than the 1-stage program it
+    strictly contains through exactly this path.)"""
     f1 = _make_looped(fn, iters)
     if not two_point:
         if warmup:
@@ -83,13 +88,12 @@ def device_time(fn: Callable, *args, iters: int = 10,
     if warmup:
         float(f1(*args))
         float(f2(*args))
-    best = float("inf")
+    best1 = best2 = float("inf")
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         float(f1(*args))
-        t1 = time.perf_counter() - t0
+        best1 = min(best1, time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(f2(*args))
-        t2 = time.perf_counter() - t0
-        best = min(best, t2 - t1)
-    return max(best / iters, 1e-9)
+        best2 = min(best2, time.perf_counter() - t0)
+    return max((best2 - best1) / iters, 1e-9)
