@@ -70,6 +70,20 @@ CONFIGS = {
                         milestones=(120, 280, 450, 620)),
     "early_decay_f32": dict(dtype="float32", lr=1e-3, gamma=0.3,
                             milestones=(120, 280, 450, 620)),
+    # frozen-BN training: removes the batch-stat co-adaptation that makes
+    # tiny-fixed-set training chaotically sharp (see TrainConfig.bn_mode)
+    "frozen": dict(dtype="bfloat16", lr=1e-3, milestones=(250, 450, 650),
+                   bn="frozen"),
+    "frozen_const": dict(dtype="bfloat16", lr=1e-3, milestones=(),
+                         bn="frozen"),
+    # prime running stats with forward passes BEFORE freezing: frozen-at-
+    # init stats leave activations unnormalized -> saturated soft-argmin ->
+    # stages 1-2 get no gradient (observed: stage-1 loss pinned at its init
+    # value for 800 steps)
+    "primed": dict(dtype="bfloat16", lr=1e-3, milestones=(250, 450, 650),
+                   bn="frozen", prime=60),
+    "primed_const": dict(dtype="bfloat16", lr=1e-3, milestones=(),
+                         bn="frozen", prime=60),
 }
 
 
@@ -79,7 +93,7 @@ def run_config(name, spec, batches, steps, out):
 
     from lwsnet_tpu import LWSNet, ModelConfig, TrainConfig
     from lwsnet_tpu.training.state import create_train_state
-    from lwsnet_tpu.training.steps import make_eval_step, make_train_step
+    from lwsnet_tpu.training.steps import make_train_step
 
     l, r, g = batches
     nb = l.shape[0]
@@ -88,7 +102,8 @@ def run_config(name, spec, batches, steps, out):
                        mask_min_disp=0.0,
                        lr_milestones=tuple(spec["milestones"]),
                        lr_gamma=spec.get("gamma", 0.1),
-                       grad_clip_norm=spec.get("clip", 5.0))
+                       grad_clip_norm=spec.get("clip", 5.0),
+                       bn_mode=spec.get("bn", "batch"))
     model = LWSNet(mcfg)
     # milestones are epochs; with nb batches/epoch the schedule converts
     # per-epoch to per-step exactly like the Trainer does
@@ -99,6 +114,22 @@ def run_config(name, spec, batches, steps, out):
     lj = jnp.asarray(l, jnp.float32)
     rj = jnp.asarray(r, jnp.float32)
     gj = jnp.asarray(g, jnp.float32)
+
+    if spec.get("prime"):
+        @jax.jit
+        def prime(state):
+            def body(s, i):
+                b = i % nb
+                _, mut = model.apply(
+                    {"params": s.params, "batch_stats": s.batch_stats},
+                    jax.lax.dynamic_index_in_dim(lj, b, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(rj, b, keepdims=False),
+                    train=True, mutable=["batch_stats"])
+                return s.replace(batch_stats=mut["batch_stats"]), 0.0
+            s, _ = jax.lax.scan(body, state, jnp.arange(spec["prime"]))
+            return s
+
+        state = prime(state)
 
     # Chunked scan: one giant 800-step dispatch crashed the tunnel-attached
     # TPU worker and 100-step chunks hung its RPC layer (single executions
@@ -131,29 +162,46 @@ def run_config(name, spec, batches, steps, out):
     tel = {k: np.concatenate([t[k] for t in tels]) for k in tels[0]}
     wall = time.time() - t0
 
-    # final EPE, eval-mode (BN running stats) vs train-mode (batch stats):
-    # a large gap implicates the BN statistics, not the weights
-    eval_step = make_eval_step(model, max_disp=192.0)
-    valid = jnp.ones((l.shape[1],), jnp.float32)
+    # Final metrics in BOTH BatchNorm modes, one jitted step per batch:
+    # per-stage masked smooth-L1 and stage-4 EPE with train=True (batch
+    # statistics — exactly what the training loss saw) and train=False
+    # (running statistics — what checkpoint eval sees). A loss/EPE pair
+    # that disagrees within a mode means a metric bug; a pair that agrees
+    # within each mode but differs across modes implicates the BN stats.
+    from lwsnet_tpu.training import losses as L
+    from lwsnet_tpu.training import metrics as M
 
-    def epe(train_mode):
-        tot = 0.0
-        for b in range(nb):
-            if train_mode:
-                outs = model.apply(
-                    {"params": final_state.params,
-                     "batch_stats": final_state.batch_stats},
-                    lj[b], rj[b], train=True,
-                    mutable=["batch_stats"])[0]
-                import lwsnet_tpu.training.metrics as M
-                tot += float(jnp.sum(jax.vmap(
-                    lambda p, t: M.epe(p[None], t[None], 192.0))(
-                        outs[-1][..., 0], gj[b]) * valid))
+    @jax.jit
+    def dbg(state, lb, rb, gb):
+        out = {}
+        for tag, train in (("train", True), ("eval", False)):
+            if train:
+                outs, _ = model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    lb, rb, train=True, mutable=["batch_stats"])
             else:
-                o = eval_step(final_state, lj[b], rj[b], gj[b], valid)
-                tot += float(o["epe"][-1])
-        return tot / (nb * l.shape[1])
+                outs = model.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    lb, rb, train=False)
+            _, per = L.staged_loss(outs, gb, tcfg.loss_weights,
+                                   min_disp=0.0)
+            out[f"loss4_{tag}"] = per[-1]
+            out[f"epe_{tag}"] = M.epe(outs[-1][..., 0], gb, 192.0)
+        return out
 
+    d0 = {k: round(float(np.mean([float(dbg(final_state, lj[b], rj[b],
+                                            gj[b])[k]) for b in range(nb)])),
+                   4)
+          for k in ("loss4_train", "loss4_eval", "epe_train", "epe_eval")}
+    # Cross-check: the SAME train_step function applied once more to the
+    # final state must agree with dbg's train-mode loss; a mismatch pins
+    # the discrepancy to the computation, agreement pins it to the state.
+    _, aux_chk = step(final_state, lj[0], rj[0], gj[0])
+    d0["step_loss_recheck"] = round(float(aux_chk["loss"]), 4)
+    d0["step_stage_recheck"] = [round(float(v), 4)
+                                for v in aux_chk["stage_losses"]]
     res = {
         "config": name, **{k: (list(v) if isinstance(v, tuple) else v)
                            for k, v in spec.items()},
@@ -163,8 +211,13 @@ def run_config(name, spec, batches, steps, out):
         "last_loss": round(float(tel["loss"][-1]), 4),
         "min_loss": round(float(tel["loss"].min()), 4),
         "argmin_loss": int(tel["loss"].argmin()),
-        "final_epe_eval": round(epe(False), 4),
-        "final_epe_train": round(epe(True), 4),
+        "final_epe_eval": d0["epe_eval"],
+        "final_epe_train": d0["epe_train"],
+        "final_loss4_eval": d0["loss4_eval"],
+        "final_loss4_train": d0["loss4_train"],
+        "step_loss_recheck": d0["step_loss_recheck"],
+        "step_stage_recheck": d0["step_stage_recheck"],
+        "loss_last_10": [round(float(x), 3) for x in tel["loss"][-10:]],
         "max_gnorm": round(float(tel["gnorm"].max()), 2),
         "final_stage_losses": [round(float(x), 4) for x in tel["stage"][-1]],
         "loss_every_25": [round(float(x), 3) for x in tel["loss"][::25]],

@@ -31,32 +31,47 @@ MARGIN = 48      # right-view sampling margin beyond the left crop
 
 def synth_pair(strip: np.ndarray, rng: np.random.Generator):
     """Given a source strip (H, W+MARGIN, 3) float [0,1], synthesize a
-    smooth strictly-positive disparity field and the views
-    left = strip[:, :W], right(x) = strip(x + d(x)) — so warping right by d
-    recovers left, i.e. d is the true disparity.
+    smooth strictly-positive LEFT-coordinate disparity field d and the
+    views left = strip[:, :W] and right with right[y, x - d(y, x)] =
+    left[y, x] — the stereo convention the network's warp implements
+    (warp(right, d)[x] samples right at x - d(x), ops/stereo.py:41-74).
+
+    Each right pixel u satisfies right[u] = strip(x(u)) where x(u) is the
+    fixed point of x = u + d(y, x); the field's x-derivative is <= ~0.05,
+    so the iteration contracts fast and the map is monotone (no
+    occlusions). An earlier generator wrote right[u] = strip(u + d(u)) —
+    the field evaluated at RIGHT coordinates — which disagrees with the
+    left-coordinate GT by ~d'(x)*d(x), up to ~2 px: an irreducible floor
+    that masqueraded as a training failure (r3 VERDICT item 1).
 
     The field stays in (2, 44] ⊂ (0, MARGIN): strictly positive (the EPE
     mask `gt < 192` — reference train.py:190 — counts every pixel, and the
     loss mask `gt > 0` must not silently drop any), and small enough that
     every right-view sample lands inside the strip, so the GT is exact and
-    valid at EVERY pixel (an earlier version zeroed out-of-frame GT, and
-    those zeros dominated the reported EPE as full-magnitude errors)."""
+    valid at EVERY pixel."""
     assert strip.shape[1] == W + MARGIN, strip.shape
     left = np.ascontiguousarray(strip[:, :W])
-    yy, xx = np.meshgrid(np.linspace(0, 3, H), np.linspace(0, 3, W),
-                         indexing="ij")
     a, b, c = rng.uniform(18, 28), rng.uniform(0, 8), rng.uniform(0, 8)
-    disp = a + b * np.sin(yy + rng.uniform(0, 6)) \
-        + c * np.cos(xx + rng.uniform(0, 6))
-    disp = disp.astype(np.float32)
+    p1, p2 = rng.uniform(0, 6), rng.uniform(0, 6)
+    ys = np.linspace(0, 3, H, dtype=np.float32)[:, None]
 
-    # right[y, x] = strip[y, x + disp[y, x]] (linear interp, always in-frame)
-    pos = np.arange(W, dtype=np.float32)[None, :] + disp
-    i0 = np.floor(pos).astype(np.int64)
-    i1 = i0 + 1
-    w1 = (pos - np.floor(pos)).astype(np.float32)[..., None]
+    def dfield(x):
+        """The analytic disparity field at (possibly fractional) left
+        x-coordinates; (H, W) in, (H, W) out."""
+        return (a + b * np.sin(ys + p1)
+                + c * np.cos(3.0 * x / (W - 1) + p2)).astype(np.float32)
+
+    u = np.broadcast_to(np.arange(W, dtype=np.float32), (H, W))
+    x = u + 25.0
+    for _ in range(30):  # contraction factor ~0.05: converges in a few
+        x = u + dfield(x)
+
+    i0 = np.floor(x).astype(np.int64)
+    i1 = np.minimum(i0 + 1, W + MARGIN - 1)
+    w1 = (x - np.floor(x)).astype(np.float32)[..., None]
     rows = np.arange(H)[:, None]
     right = strip[rows, i0] * (1 - w1) + strip[rows, i1] * w1
+    disp = dfield(u)  # GT at left coordinates: exact by construction
     return left, right.astype(np.float32), disp
 
 

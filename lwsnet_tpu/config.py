@@ -42,9 +42,7 @@ class ModelConfig:
     # (channels on matmul rows, 2-D vector values only) — the default:
     # ~13 s cold Mosaic compile AND the fastest measured mode (4.9 ms vs
     # 8.1 ms "layers" at 368x1232 on v5e). "layers" = planar per-layer
-    # kernels (~270 s cold compile; every op unrolls over C); "fused" =
-    # three chain kernels (HOUR-class cold compile); "chain" = whole
-    # tower/head kernels (multi-minute compile).
+    # kernels (~270 s cold compile; every op unrolls over C).
     pallas_mode: str = "rows"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
@@ -110,6 +108,20 @@ class TrainConfig:
     # the BN running statistics forever (eval-path NaN while training keeps
     # "working" off batch stats — the round-2 failure signature).
     skip_nonfinite_updates: bool = True
+    # BatchNorm behavior inside the train step:
+    #   "batch"  — normalize by the current batch's statistics and update
+    #              the running stats (reference semantics, the default).
+    #   "frozen" — normalize by the (fixed) running statistics; stats don't
+    #              update. Standard for finetuning, and REQUIRED for
+    #              small-fixed-set overfit runs: with a repeated tiny batch,
+    #              batch-mode BN lets the network co-adapt to its own batch
+    #              statistics, producing razor-thin chaotic minima where the
+    #              in-step loss reads ~2 px while any reevaluation of the
+    #              same params lands at ~20 px (diagnosed r4 via
+    #              examples/diag_bisect*.py: different XLA fusions of the
+    #              identical forward disagree 10x at such states, and one
+    #              lr=1e-4 Adam step moves the loss 1.9 -> 24).
+    bn_mode: str = "batch"
     save_path: str = "results/run"
     resume: str = ""
     pretrained: str = ""

@@ -45,14 +45,23 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
     tx = make_optimizer(cfg, steps_per_epoch)
     schedule = make_lr_schedule(cfg, steps_per_epoch)
 
+    assert cfg.bn_mode in ("batch", "frozen"), cfg.bn_mode
+
     def loss_fn(params, batch_stats, left, right, gt):
-        outputs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            left, right, train=True, mutable=["batch_stats"])
+        if cfg.bn_mode == "batch":
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                left, right, train=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:  # "frozen": normalize by fixed running stats, no stat update
+            outputs = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                left, right, train=False)
+            new_stats = batch_stats
         total, per_stage = losses.staged_loss(
             outputs, gt, cfg.loss_weights,
             min_disp=cfg.mask_min_disp, max_disp=cfg.mask_max_disp)
-        return total, (per_stage, mutated["batch_stats"])
+        return total, (per_stage, new_stats)
 
     def train_step(state: TrainState, left, right, gt):
         (loss, (per_stage, new_stats)), grads = jax.value_and_grad(

@@ -50,6 +50,34 @@ def test_train_step_reduces_loss(setup):
     assert int(state.step) == 8
 
 
+def test_frozen_bn_mode(setup):
+    """bn_mode='frozen': the loss descends, batch_stats do NOT change, and
+    the in-step loss is the true loss of the carried params (recomputing it
+    with a fresh eval-mode apply agrees) — the property batch-mode BN loses
+    on a repeated tiny batch (TrainConfig.bn_mode docstring)."""
+    model, _, state = setup
+    tcfg = TrainConfig(lr=1e-3, mask_max_disp=192.0, bn_mode="frozen")
+    step = make_train_step(model, tcfg, steps_per_epoch=10, donate=False)
+    l, r, g = synth_batch()
+    stats0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.batch_stats)
+    losses = []
+    for _ in range(6):
+        state, aux = step(state, l, r, g)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 state.batch_stats, stats0)
+
+    # recomputed loss of the carried state == the next step's in-step loss
+    from lwsnet_tpu.training import losses as L
+    outs = model.apply({"params": state.params,
+                        "batch_stats": state.batch_stats}, l, r, train=False)
+    total, _ = L.staged_loss(outs, g, tcfg.loss_weights,
+                             max_disp=tcfg.mask_max_disp)
+    _, aux = step(state, l, r, g)
+    np.testing.assert_allclose(float(total), float(aux["loss"]), rtol=1e-5)
+
+
 def test_lr_schedule_milestones():
     tcfg = TrainConfig(lr=5e-4, lr_milestones=(200, 400), lr_gamma=0.1)
     sched = make_lr_schedule(tcfg, steps_per_epoch=10)
