@@ -84,6 +84,11 @@ CONFIGS = {
                    bn="frozen", prime=60),
     "primed_const": dict(dtype="bfloat16", lr=1e-3, milestones=(),
                          bn="frozen", prime=60),
+    # the reference's own finetune hyperparameters (lr 5e-4, one 0.1 decay
+    # at 2/3 of the run; reference finetune.py:82-84), for use with a
+    # diverse (>=64-pair) synthetic set where batch statistics stay healthy
+    "ref_sched": dict(dtype="bfloat16", lr=5e-4, milestones=(530,)),
+    "ref_sched_2k": dict(dtype="bfloat16", lr=5e-4, milestones=(1300,)),
 }
 
 
@@ -195,6 +200,27 @@ def run_config(name, spec, batches, steps, out):
                                             gj[b])[k]) for b in range(nb)])),
                    4)
           for k in ("loss4_train", "loss4_eval", "epe_train", "epe_eval")}
+
+    # Post-training BN re-estimation ("precise BN"): refresh the running
+    # statistics with forward passes at the final params, then re-eval.
+    # Tests whether the eval-vs-train gap is an EMA-staleness artifact.
+    @jax.jit
+    def restat(state):
+        def body(s, i):
+            b = i % nb
+            _, mut = model.apply(
+                {"params": s.params, "batch_stats": s.batch_stats},
+                jax.lax.dynamic_index_in_dim(lj, b, keepdims=False),
+                jax.lax.dynamic_index_in_dim(rj, b, keepdims=False),
+                train=True, mutable=["batch_stats"])
+            return s.replace(batch_stats=mut["batch_stats"]), 0.0
+        s, _ = jax.lax.scan(body, state, jnp.arange(4 * nb))
+        return s
+
+    re_state = restat(final_state)
+    d0["epe_eval_restat"] = round(float(np.mean(
+        [float(dbg(re_state, lj[b], rj[b], gj[b])["epe_eval"])
+         for b in range(nb)])), 4)
     # Cross-check: the SAME train_step function applied once more to the
     # final state must agree with dbg's train-mode loss; a mismatch pins
     # the discrepancy to the computation, agreement pins it to the state.
@@ -217,6 +243,7 @@ def run_config(name, spec, batches, steps, out):
         "final_loss4_train": d0["loss4_train"],
         "step_loss_recheck": d0["step_loss_recheck"],
         "step_stage_recheck": d0["step_stage_recheck"],
+        "epe_eval_restat": d0["epe_eval_restat"],
         "loss_last_10": [round(float(x), 3) for x in tel["loss"][-10:]],
         "max_gnorm": round(float(tel["gnorm"].max()), 2),
         "final_stage_losses": [round(float(x), 4) for x in tel["stage"][-1]],

@@ -1,14 +1,21 @@
-"""Trainability proof: overfit a tiny synthetic stereo set on the real chip.
+"""Trainability proof: overfit a synthetic stereo set on the real chip.
 
 Accuracy evidence in the absence of the (undownloadable) released weights
-(VERDICT r1 item 3): build 4 stereo pairs with EXACTLY KNOWN ground truth by
-horizontally warping crops of the reference golden left image with smooth
-synthetic disparity fields, then run the real `Trainer.fit` loop (pipeline ->
-jitted train step -> eval -> best checkpoint) until the network overfits the
-set. A falling train loss + near-zero final EPE proves the whole training
-stack (model, loss, Adam, BN, data path) optimizes end to end on TPU.
+(VERDICT r1 item 3): build 64 stereo pairs with EXACTLY KNOWN ground truth
+(left-coordinate disparity fields inverted to synthesize the right view —
+see `synth_pair`), then run the real `Trainer.fit` loop (pipeline -> jitted
+train step -> eval -> best checkpoint) under BOTH loss-mask regimes
+(pretrain gt<192 / finetune gt>0) until the network overfits the set.
+A monotone loss + sub-pixel final EPE proves the whole training stack
+(model, loss, Adam, BN, data path) optimizes end to end on TPU.
 
-    python examples/overfit_proof.py [--epochs 120] [--out OVERFIT_PROOF.json]
+Set-size note: 64 pairs, not 4 — with a repeated tiny batch, batch-mode
+BatchNorm co-adapts to its own batch statistics and the optimization turns
+chaotically sharp (see TrainConfig.bn_mode); 16 batches of distinct images
+keep the batch statistics honest, which is also the reference's own regime
+(random crops over a large corpus).
+
+    python examples/overfit_proof.py [--epochs 60] [--out OVERFIT_PROOF.json]
 """
 
 from __future__ import annotations
@@ -75,16 +82,81 @@ def synth_pair(strip: np.ndarray, rng: np.random.Generator):
     return left, right.astype(np.float32), disp
 
 
+def run_regime(name: str, index, args, mask_kwargs: dict,
+               workdir: str):
+    """One full Trainer.fit run under a loss-mask regime; returns the
+    result dict (curves, final/best EPE)."""
+    import jax
+    import numpy as np
+
+    from lwsnet_tpu import ModelConfig, TrainConfig
+    from lwsnet_tpu.data.pipeline import StereoPipeline
+    from lwsnet_tpu.training.loop import Trainer, TrainerConfig
+
+    mcfg = ModelConfig()  # production bf16
+    tcfg = TrainConfig(lr=args.lr, epochs=args.epochs,
+                       train_batch_size=args.batch,
+                       eval_batch_size=args.batch,
+                       lr_milestones=tuple(args.milestones), lr_gamma=0.1,
+                       save_path=os.path.join(workdir, f"ckpt_{name}"),
+                       log_every=10, **mask_kwargs)
+    train_pipe = StereoPipeline(index, args.batch, training=True,
+                                crop=(H, W), kitti=True, num_workers=4)
+    eval_pipe = StereoPipeline(index, args.batch, training=False,
+                               crop=(H, W), kitti=True, num_workers=4)
+    trainer = Trainer(
+        TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+        train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
+    trainer.init_state()
+
+    epe0 = trainer.evaluate()  # random-init EPE for contrast
+    losses, skipped = [], []
+    orig = trainer.train_step
+
+    def spy(state, l, r, g):
+        state, aux = orig(state, l, r, g)
+        losses.append(float(aux["loss"]))
+        if float(aux.get("finite", 1.0)) == 0.0:
+            skipped.append(len(losses) - 1)
+        return state, aux
+
+    trainer.train_step = spy
+    t0 = time.time()
+    final_epe = trainer.fit(args.epochs)
+    wall = time.time() - t0
+
+    def num(x):
+        """Round, mapping non-finite values to None: bare NaN/Infinity is
+        not valid RFC-8259 JSON and must never reach a committed artifact."""
+        x = float(x)
+        return round(x, 3) if np.isfinite(x) else None
+
+    return {
+        "mask_regime": name,
+        "epochs": args.epochs,
+        "steps": len(losses),
+        "nonfinite_steps_skipped": skipped,
+        "initial_epe_px": num(epe0),
+        "final_epe_px": num(final_epe),
+        "best_epe_px": num(trainer.best_error),
+        "first_loss": num(losses[0]),
+        "last_loss": num(losses[-1]),
+        "loss_curve_every_20": [num(x) for x in losses[::20]],
+        "train_wall_s": round(wall, 1),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=800)
-    p.add_argument("--pairs", type=int, default=16)
-    p.add_argument("--lr", type=float, default=1e-3)
-    # At a constant 1e-3 the loss descends to ~7 by step 300 then oscillates
-    # (Adam cycling on a 4-image set); the decays break the cycle and let the
-    # network actually overfit, same mechanism as the reference's finetune
-    # MultiStepDecay (reference: finetune.py:82-84).
-    p.add_argument("--milestones", type=int, nargs="*", default=[250, 450, 650])
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--pairs", type=int, default=64)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=5e-4)
+    # The reference finetune schedule shape: one 0.1 decay at ~2/3 of the
+    # run (reference: finetune.py:82-84 decays at epoch 200 of 300).
+    p.add_argument("--milestones", type=int, nargs="*", default=[40])
+    p.add_argument("--regimes", nargs="*",
+                   default=["kitti_mask", "sceneflow_mask"])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
     p.add_argument("--workdir", type=str, default="/tmp/overfit_proof")
     args = p.parse_args()
@@ -95,15 +167,11 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
 
-    from lwsnet_tpu import ModelConfig, TrainConfig
-    from lwsnet_tpu.data.kitti2015 import StereoIndex
-    from lwsnet_tpu.data.pipeline import StereoPipeline
-    from lwsnet_tpu.training.loop import Trainer, TrainerConfig
-
-    os.makedirs(args.workdir, exist_ok=True)
     from lwsnet_tpu.data import transforms as T
+    from lwsnet_tpu.data.kitti2015 import StereoIndex
     from lwsnet_tpu.data.png import write_png
 
+    os.makedirs(args.workdir, exist_ok=True)
     src = T.load_image(GOLDEN_LEFT)
     rng = np.random.default_rng(0)
 
@@ -122,68 +190,33 @@ def main() -> None:
         lefts.append(lp); rights.append(rp); disps.append(dp)
     index = StereoIndex(lefts, rights, disps)
 
-    mcfg = ModelConfig()  # production bf16
-    tcfg = TrainConfig(lr=args.lr, epochs=args.epochs, train_batch_size=4,
-                       eval_batch_size=4, mask_min_disp=0.0,
-                       lr_milestones=tuple(args.milestones), lr_gamma=0.1,
-                       save_path=os.path.join(args.workdir, "ckpt"),
-                       log_every=10)
-    train_pipe = StereoPipeline(index, 4, training=True, crop=(H, W),
-                                kitti=True, num_workers=4)
-    eval_pipe = StereoPipeline(index, 4, training=False, crop=(H, W),
-                               kitti=True, num_workers=4)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
-    trainer = Trainer(
-        TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
-        train_pipe, eval_pipe, logging.getLogger("overfit"))
-    trainer.init_state()
-
-    epe0 = trainer.evaluate()  # random-init EPE for contrast
-    losses, epes = [], []
-    orig = trainer.train_step
-
-    skipped = []
-
-    def spy(state, l, r, g):
-        state, aux = orig(state, l, r, g)
-        losses.append(float(aux["loss"]))
-        if float(aux.get("finite", 1.0)) == 0.0:
-            skipped.append(len(losses) - 1)
-        return state, aux
-
-    trainer.train_step = spy
-    t0 = time.time()
-    final_epe = trainer.fit(args.epochs)
-    wall = time.time() - t0
-
-    def num(x):
-        """Round, mapping non-finite values to None: bare NaN/Infinity is not
-        valid RFC-8259 JSON and must never reach a committed artifact."""
-        x = float(x)
-        return round(x, 3) if np.isfinite(x) else None
+    # Both loss-mask regimes (reference: train.py:137 masks gt < maxdisp for
+    # SceneFlow pretrain; finetune.py:153 masks gt > 0 for sparse KITTI GT).
+    regimes = {
+        "kitti_mask": dict(mask_min_disp=0.0),
+        "sceneflow_mask": dict(mask_max_disp=192.0),
+    }
+    runs = [run_regime(name, index, args, regimes[name], args.workdir)
+            for name in args.regimes]
 
     result = {
         "device": jax.devices()[0].device_kind,
-        "epochs": args.epochs,
+        "pairs": args.pairs,
+        "batch": args.batch,
         "lr": args.lr,
         "lr_milestones": list(args.milestones),
-        "steps": len(losses),
-        "nonfinite_steps_skipped": skipped,
-        "initial_epe_px": num(epe0),
-        "final_epe_px": num(final_epe),
-        "best_epe_px": num(trainer.best_error),
-        "first_loss": num(losses[0]),
-        "last_loss": num(losses[-1]),
-        "loss_curve_every_10": [num(x) for x in losses[::10]],
-        "train_wall_s": round(wall, 1),
+        "runs": runs,
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1, allow_nan=False)
     print(json.dumps(result, allow_nan=False))
-    ok = (result["best_epe_px"] is not None
-          and result["final_epe_px"] is not None
-          and result["best_epe_px"] < 1.5
-          and np.isfinite(losses[-1]) and losses[-1] < losses[0] * 0.1)
+    # PASS bar (r3 VERDICT item 1): every regime ends below 1 px EPE with
+    # final ~= best (no late-training drift).
+    ok = all(r["final_epe_px"] is not None and r["best_epe_px"] is not None
+             and r["final_epe_px"] < 1.0
+             and r["final_epe_px"] - r["best_epe_px"] < 0.3
+             for r in runs)
     print("OVERFIT PROOF:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -122,6 +122,13 @@ class TrainConfig:
     #              identical forward disagree 10x at such states, and one
     #              lr=1e-4 Adam step moves the loss 1.9 -> 24).
     bn_mode: str = "batch"
+    # "Precise BN": before each validation pass, refresh the BN running
+    # statistics with this many forward-only passes over training batches
+    # (no parameter updates). 0 = reference semantics (evaluate on the EMA
+    # as-is). Useful when the EMA lags the params — on small corpora the
+    # cascade amplifies the stats mismatch into multi-pixel eval error
+    # while the train-mode loss is already sub-pixel.
+    bn_reestimate_batches: int = 0
     save_path: str = "results/run"
     resume: str = ""
     pretrained: str = ""

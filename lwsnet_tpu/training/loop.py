@@ -59,6 +59,7 @@ class Trainer:
         self.eval_step = steps_lib.make_eval_step(
             self.model, max_disp=tcfg.model.max_disp,
             sceneflow_row_offset=tcfg.sceneflow_row_offset)
+        self.stat_step = steps_lib.make_stat_step(self.model)
         self.ckpt = CheckpointManager(tcfg.train.save_path)
 
         self.state: Optional[TrainState] = None
@@ -136,6 +137,25 @@ class Trainer:
             "Average train loss = %s",
             "\t".join(f"Stage {s} = {m.avg:.2f}" for s, m in enumerate(meters)))
 
+    def reestimate_bn(self, epoch: int) -> None:
+        """Precise-BN pass (cfg.bn_reestimate_batches > 0): refresh the BN
+        running statistics with forward-only passes over training batches so
+        validation sees statistics that match the current params."""
+        n = self.tcfg.train.bn_reestimate_batches
+        if not n:
+            return
+        done = 0
+        while done < n:  # reshuffled epochs until n batches consumed
+            for batch in self.train_pipe.epoch(1_000_000 + epoch + done):
+                sharded = mesh_lib.shard_batch(
+                    self.mesh, {"l": batch.left, "r": batch.right},
+                    self.mesh_cfg)
+                self.state = self.stat_step(
+                    self.state, sharded["l"], sharded["r"])
+                done += 1
+                if done >= n:
+                    break
+
     def evaluate(self) -> float:
         """Run validation; returns the stage-(last) headline metric."""
         n_stages = self.tcfg.model.num_stages
@@ -167,6 +187,7 @@ class Trainer:
         error = self.best_error
         for epoch in range(self.start_epoch, epochs):
             self.train_epoch(epoch)
+            self.reestimate_bn(epoch)
             error = self.evaluate()
             # `error` is identical on every process (the eval sums are
             # all-reduced inside the jitted step), so this branch is taken

@@ -90,6 +90,21 @@ def make_train_step(model: LWSNet, cfg: TrainConfig,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_stat_step(model: LWSNet) -> Callable:
+    """Returns stat_step(state, left, right) -> state with refreshed BN
+    running statistics (one forward pass in batch-stats mode, no parameter
+    update) — the building block of precise-BN re-estimation
+    (TrainConfig.bn_reestimate_batches)."""
+
+    def stat_step(state: TrainState, left, right):
+        _, mutated = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            left, right, train=True, mutable=["batch_stats"])
+        return state.replace(batch_stats=mutated["batch_stats"])
+
+    return jax.jit(stat_step)
+
+
 def make_eval_step(model: LWSNet, max_disp: float = 192.0,
                    sceneflow_row_offset: int = 0) -> Callable:
     """Returns eval_step(state, left, right, gt, valid) ->

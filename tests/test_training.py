@@ -78,6 +78,23 @@ def test_frozen_bn_mode(setup):
     np.testing.assert_allclose(float(total), float(aux["loss"]), rtol=1e-5)
 
 
+def test_stat_step_refreshes_stats_only(setup):
+    """make_stat_step (precise-BN re-estimation) updates running statistics
+    and leaves params/opt_state/step untouched."""
+    from lwsnet_tpu.training.steps import make_stat_step
+    model, _, state = setup
+    l, r, _ = synth_batch()
+    stat_step = make_stat_step(model)
+    new = stat_step(state, l, r)
+    assert int(new.step) == int(state.step)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), new.params, state.params)
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        new.batch_stats, state.batch_stats))
+    assert any(changed)
+
+
 def test_lr_schedule_milestones():
     tcfg = TrainConfig(lr=5e-4, lr_milestones=(200, 400), lr_gamma=0.1)
     sched = make_lr_schedule(tcfg, steps_per_epoch=10)
