@@ -30,7 +30,8 @@ GOLDEN_LEFT = "/root/reference/reference/left_test.png"
 H, W = 256, 512
 
 
-def build_batches(n_pairs: int, batch: int, seed: int = 0):
+def build_batches(n_pairs: int, batch: int, seed: int = 0,
+                  amp: float = 3.0):
     """Synthetic stereo pairs with exactly known GT (same generator as
     examples/overfit_proof.py), stacked into (NB, batch, ...) arrays."""
     from lwsnet_tpu.data import transforms as T
@@ -43,7 +44,7 @@ def build_batches(n_pairs: int, batch: int, seed: int = 0):
         y0 = int(rng.integers(0, src.shape[0] - H + 1))
         x0 = int(rng.integers(0, src.shape[1] - W - MARGIN + 1))
         strip = src[y0:y0 + H, x0:x0 + W + MARGIN]
-        left, right, disp = synth_pair(strip, rng)
+        left, right, disp = synth_pair(strip, rng, amp=amp)
         lefts.append(T.normalize(left))
         rights.append(T.normalize(right))
         disps.append(disp)
@@ -259,6 +260,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--pairs", type=int, default=4)
+    p.add_argument("--amp", type=float, default=3.0)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--configs", nargs="*", default=list(CONFIGS))
     p.add_argument("--out", default="/tmp/overfit_diag.json")
@@ -269,7 +271,7 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
 
-    batches = build_batches(args.pairs, args.batch)
+    batches = build_batches(args.pairs, args.batch, amp=args.amp)
     out = []
     for name in args.configs:
         run_config(name, CONFIGS[name], batches, args.steps, out)

@@ -35,8 +35,8 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
 
       * stage-1 cost filtering + identity skip + soft-argmin runs as ONE
         VMEM-resident kernel (`lwsnet_tpu.ops.pallas.costfilter`);
-      * the stage-4 refinement runs as three whole-chain kernels
-        (`lwsnet_tpu.models.refine_pallas`).
+      * the stage-4 refinement runs as row-canvas per-layer kernels
+        (`lwsnet_tpu.models.refine_pallas`, `cfg.pallas_mode`).
 
     Stages 2-3 (small residual volumes) and all glue stay XLA. The XLA
     module path (`use_pallas=False`) is the training path, the correctness

@@ -1,11 +1,11 @@
 """Inference-time Pallas path for the stage-4 refinement.
 
 Bridges the Flax parameter tree of `RefinementTower`/`RefinementHead`
-(lwsnet_tpu.models.refinement) to the fused whole-chain Pallas kernels in
-`lwsnet_tpu.ops.pallas.refine`: BatchNorm running statistics are folded into
-per-channel affines (inference semantics), activations move to the planar
-(B, C, H, W) layout the kernels want, and the two towers + head run as three
-kernels whose intermediates never leave VMEM.
+(lwsnet_tpu.models.refinement) to the Pallas refinement kernels
+(`lwsnet_tpu.ops.pallas.refine_rows` for the default "rows" mode,
+`lwsnet_tpu.ops.pallas.refine` for the planar "layers" mode): BatchNorm
+running statistics are folded into per-channel affines (inference
+semantics) and activations move to the canvas layouts the kernels want.
 
 Semantically identical to the XLA modules in eval mode
 (reference: models/submodules.py:282-326, wired at models/models.py:158-162);
@@ -55,21 +55,21 @@ def _dwsep_weights(params: dict, stats: dict, n_layers: int, dtype):
 
 
 def _tower_weights(params: dict, stats: dict, dtype):
-    """fused_tower inputs from a RefinementTower subtree."""
+    """(entry, affines, dwks, pwks) from a RefinementTower subtree."""
     entry = params["Conv_0"]["kernel"].astype(dtype)
     return (entry,) + _dwsep_weights(params, stats, len(TOWER_DILATIONS),
                                      dtype)
 
 
 def _head_weights(params: dict, stats: dict, dtype):
-    """fused_head inputs from a RefinementHead subtree."""
+    """(aff0, dense, affines, dwks, pwks, out_k) from a RefinementHead subtree."""
     pre = params["PreConv_0"]
     aff0 = fold_bn(pre["BatchNorm_0"],
                    stats["PreConv_0"]["BatchNorm_0"]).astype(dtype)
     dense = pre["Conv_0"]["kernel"].astype(dtype)
     affs, dwks, pwks = _dwsep_weights(params, stats, len(HEAD_DILATIONS),
                                       dtype)
-    out_k = params["out_kernel"]  # cast to f32 inside fused_head
+    out_k = params["out_kernel"]  # cast by the mode runner
     return aff0, dense, affs, dwks, pwks, out_k
 
 
@@ -126,95 +126,70 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                          h_real=h, w_real=w, interpret=interpret)
 
 
-def _fused_chunk(height: int, width: int) -> int:
-    """Row chunk for the 3-kernel fused mode: the largest chunk (capped at
-    48, the measured best at 368x1232 on v5e) whose head-kernel VMEM
-    footprint (two 32-ch input streams, Mosaic-pipelined x2, + f32
-    window/accumulator) fits the budget at this width. Never below the
-    tower chain's T8 = round8(1+2+4+8+16) = 32."""
-    wc = -(-width // 128) * 128
-    for chunk in (48, 40, 32):
-        # ~20 block-equivalents of a (32, chunk, wc) bf16 block: 2 streams
-        # x 3 input blocks x 2 buffering + double-buffered output + f32
-        # window value + tap accumulator + headroom.
-        if 20 * 32 * chunk * wc * 2 <= 100 * 1024 * 1024:
-            return chunk
-    raise ValueError(
-        f"no fused-mode row chunk >= 32 fits VMEM at width {width}; "
-        "use pallas_mode='layers'")
-
-
-def _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret):
-    """Whole-refinement in THREE chain kernels (one per tower, one head):
-    every dw-sep layer composed to a dense rank-1 conv on the MXU
-    (`compose_dwsep`), intermediates VMEM-resident. Measured motivation in
-    ops/pallas/refine.py (streamed chain kernel block comment)."""
-    chunk = _fused_chunk(H, W)
-
-    def tower(x, weights):
-        entry, affs, dwks, pwks = weights
-        kernels = [entry] + [K.compose_dwsep(dwks[i], pwks[i])
-                             for i in range(len(TOWER_DILATIONS))]
-        affines = [None] + [affs[i] for i in range(len(TOWER_DILATIONS))]
-        return K.fused_chain((K.layer_canvas(x, chunk),), kernels, affines,
-                             (1,) + TOWER_DILATIONS, chunk=chunk, h_real=H,
-                             w_real=W, interpret=interpret)
-
-    tower_l = tower(xl, tw_l)
-    tower_d = tower(xd, tw_d)
-
-    aff0, dense, affs, dwks, pwks, out_k = hw
-    F = pwks.shape[1]
-    kernels = [(dense[:, :, :F], dense[:, :, F:])]
-    kernels += [K.compose_dwsep(dwks[i], pwks[i])
-                for i in range(len(HEAD_DILATIONS))]
-    kernels.append(out_k)
-    affines = [(aff0[:, :F], aff0[:, F:])]
-    affines += [affs[i] for i in range(len(HEAD_DILATIONS))]
-    affines.append(None)
-    dils = (HEAD_DENSE_DILATION,) + HEAD_DILATIONS + (1,)
-    res = K.fused_chain((tower_l, tower_d), kernels, affines, dils,
-                        chunk=chunk, h_real=H, w_real=W, interpret=interpret)
-    return K.layer_uncanvas(res, chunk, H, W)
-
-
 def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
-    """Row-canvas per-layer refinement (ops/pallas/refine_rows): the default
-    inference mode — seconds-class cold compile, fastest measured."""
+    """Row-canvas refinement (ops/pallas/refine_rows): the default
+    inference mode — seconds-class cold compile, fastest measured.
+
+    Seven kernels for the whole 13-layer stage: the two towers run as ONE
+    2B-batch chain (entry + two pair-fused dw-sep kernels) with per-tower
+    weights selected by the grid's batch index — the disparity tower's
+    1-channel input/entry zero-pad to the RGB tower's 3 channels, which is
+    exact (zero input channels contribute nothing) — and the head runs as
+    dense + two pair-fused dw-sep kernels + output conv."""
     from lwsnet_tpu.ops.pallas import refine_rows as R
 
-    S, NR = R.canvas_geom(H, W)
+    B = left.shape[0]
+    S, NR = R.canvas_geom(H, W, unit=R.PAIR_UNIT)
+    Rb = R.PAIR_UNIT
 
-    def tower(x_nhwc, params, stats):
-        entry, affs, dwks, pwks = _tower_weights(params, stats, dtype)
-        y = R.to_canvas(x_nhwc, S, NR, dtype)
-        y = R.dense_layer(y, entry, dilation=1, S=S, NR=NR,
-                          interpret=interpret)
-        for i, d in enumerate(TOWER_DILATIONS):
-            y = R.dwsep_layer(y, affs[i], dwks[i], pwks[i], dilation=d,
-                              S=S, NR=NR, interpret=interpret)
-        return y
+    el, al, kl, pl_ = _tower_weights(p["RefinementTower_0"],
+                                     s["RefinementTower_0"], dtype)
+    ed, ad, kd, pd_ = _tower_weights(p["RefinementTower_1"],
+                                     s["RefinementTower_1"], dtype)
+    entries = jnp.stack([el, jnp.pad(ed, ((0, 0), (0, 0), (0, 2), (0, 0)))])
 
-    tl = tower(left, p["RefinementTower_0"], s["RefinementTower_0"])
-    td = tower(disp, p["RefinementTower_1"], s["RefinementTower_1"])
-    F = tl.shape[1] - 1
+    def tw(i):
+        """Layer i's grouped (affine, dwk, pwk): tower 0 = left, 1 = disp."""
+        return (jnp.stack([al[i], ad[i]]), jnp.stack([kl[i], kd[i]]),
+                jnp.stack([pl_[i], pd_[i]]))
+
+    x = jnp.concatenate(
+        [left.astype(dtype),
+         jnp.pad(disp.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 2)))],
+        axis=0)
+    y = R.to_canvas(x, S, NR, dtype)
+    y = R.dense_layer(y, entries, dilation=1, S=S, NR=NR, groups=2,
+                      block_rows=Rb, interpret=interpret)
+    for i in (0, 2):  # pairs (2, 4) and (8, 16)
+        y = R.dwsep2_layer(y, *tw(i), *tw(i + 1),
+                           dilation1=TOWER_DILATIONS[i],
+                           dilation2=TOWER_DILATIONS[i + 1],
+                           S=S, NR=NR, groups=2, block_rows=Rb,
+                           interpret=interpret)
+
+    F = y.shape[1] - 1
+    tl, td = y[:B], y[B:]
     cat = jnp.concatenate([tl[:, :F], td[:, :F], tl[:, F:]], axis=1)
 
     aff0, dense, affs, dwks, pwks, out_k = _head_weights(
         p["RefinementHead_0"], s["RefinementHead_0"], dtype)
     y = R.dense_layer(cat, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
-                      affine=aff0, interpret=interpret)
-    for i, d in enumerate(HEAD_DILATIONS):
-        y = R.dwsep_layer(y, affs[i], dwks[i], pwks[i], dilation=d,
-                          S=S, NR=NR, interpret=interpret)
+                      affine=aff0, block_rows=Rb, interpret=interpret)
+    for i in (0, 2):  # pairs (8, 4) and (2, 1)
+        y = R.dwsep2_layer(y, affs[i], dwks[i], pwks[i],
+                           affs[i + 1], dwks[i + 1], pwks[i + 1],
+                           dilation1=HEAD_DILATIONS[i],
+                           dilation2=HEAD_DILATIONS[i + 1],
+                           S=S, NR=NR, block_rows=Rb, interpret=interpret)
     y = R.dense_layer(y, out_k.astype(dtype), dilation=1, S=S, NR=NR,
-                      out_dtype=jnp.float32, interpret=interpret)
+                      out_dtype=jnp.float32, block_rows=Rb,
+                      interpret=interpret)
     return R.from_canvas(y, H, W, S, NR, 1).astype(jnp.float32)
 
 
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                     *, dtype=jnp.bfloat16, interpret: bool = False,
-                    mode: str = "fused") -> jnp.ndarray:
+                    mode: str = "rows") -> jnp.ndarray:
     """The stage-4 refinement residual via the fused Pallas kernels.
 
     Equals RefinementTower(left) ++ RefinementTower(disp) -> RefinementHead
@@ -226,14 +201,13 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
         channels on matmul rows, 2-D vector values only, vertical taps as
         whole-row lane shifts. Seconds-class cold compile AND the fastest
         measured mode; the default.
-      "fused"  — THREE chain kernels (tower, tower, head): dw-sep layers
-        composed into dense rank-1 convs on the MXU, intermediates
-        VMEM-resident (`fused_chain`). HOUR-class cold Mosaic compile.
       "layers" — one planar Pallas kernel per layer (fused_dense /
         fused_dwsep), canvases round-trip HBM between layers. ~270 s cold
         compile (every op unrolls over the C axis).
-      "chain"  — whole tower/head in one kernel, activations VMEM-resident
-        (fused_tower / fused_head). Multi-minute Mosaic compile.
+
+    (Two further modes — whole-chain kernels with hour-class Mosaic compiles
+    — were removed: their cold compile never landed inside any benchmark
+    budget and "rows" beat them on headroom anyway.)
 
     Args:
       variables: the full LWSNet {"params", "batch_stats"} tree.
@@ -242,7 +216,7 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
-    assert mode in ("rows", "fused", "layers", "chain"), mode
+    assert mode in ("rows", "layers"), mode
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
     if mode == "rows":
@@ -254,20 +228,6 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     tw_d = _tower_weights(p["RefinementTower_1"], s["RefinementTower_1"],
                           dtype)
     hw = _head_weights(p["RefinementHead_0"], s["RefinementHead_0"], dtype)
-
-    if mode == "fused":
-        res = _fused_mode(xl, xd, tw_l, tw_d, hw, H, W, interpret)
-        return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)
-
-    if mode == "chain":
-        tower_l = K.fused_tower(xl, *tw_l, dilations=TOWER_DILATIONS,
-                                interpret=interpret)
-        tower_d = K.fused_tower(xd, *tw_d, dilations=TOWER_DILATIONS,
-                                interpret=interpret)
-        cat = jnp.concatenate([tower_l, tower_d], axis=1)
-        res = K.fused_head(cat, *hw, dense_dilation=HEAD_DENSE_DILATION,
-                           dilations=HEAD_DILATIONS, interpret=interpret)
-        return jnp.transpose(res, (0, 2, 3, 1)).astype(jnp.float32)
 
     # one chunk for the whole chain; the head's 64ch conv is split into two
     # 32ch halves (see _head_layers), so F=32 is the widest kernel.

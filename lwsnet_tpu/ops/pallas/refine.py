@@ -63,6 +63,10 @@ def _dot_precision(dt):
     return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
 
+def _round8(n):
+    return -(-n // 8) * 8
+
+
 # ---------------------------------------------------------------------------
 # Per-layer kernels: ONE Pallas call per refinement layer on a "layer
 # canvas" (`layer_canvas`: top pad = one chunk of rows, height padded to
@@ -445,352 +449,8 @@ def fused_dense(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
     )(x, x, x, aff, kt)
 
 
-# ---------------------------------------------------------------------------
-# Streamed chain kernel: a whole stack of dense dilated-3x3 conv layers in
-# ONE kernel on the layer-canvas geometry. Motivation (measured, v5e,
-# 368x1232): every per-layer kernel pays ~0.5 ms of fixed cost — window
-# assembly, activation masking, and streaming the 3 shifted block views —
-# regardless of its conv math (a 32->1 output conv costs 0.556 ms, a full
-# dw-sep layer 0.62 ms). Chaining L layers per kernel pays that cost once:
-# the window is assembled once and every intermediate lives only as a VMEM
-# value. Depthwise-separable layers enter the chain COMPOSED into dense
-# rank-1 convs (k[dy,dx,ci,co] = dw[dy,dx,ci] * pw[co,ci] — exact because
-# no nonlinearity sits between the depthwise and pointwise convs), so all
-# tap math runs as per-tap (Co, Ci) x (Ci, rows*Wc) matmuls on the MXU with
-# f32 accumulation instead of 9-tap VPU FMA chains.
-#
-# Row bookkeeping: the kernel's window covers canvas rows
-# [i*chunk - T8, i*chunk + chunk + T8), T8 = round8(sum(dilations)). Layer k
-# consumes a d_k-row margin from each side; the running offset s_k =
-# sum_{j<k} d_j <= T8 keeps every slice static. Out-of-image rows/columns
-# are re-zeroed after every activation (the convs' zero padding must
-# surround *activated* values), so canvas garbage never propagates.
-# ---------------------------------------------------------------------------
-
-
-def _acc_conv(w, kt_ref, d, m, rows_out, Wc, cp, precision):
-    """Dense dilated-3x3 conv on an activated window VALUE via 9 per-tap
-    matmuls with f32 accumulation. `w`: (Ci, R, Wc + 2*cp) with column pad
-    cp >= d and zeros outside the real image. Output rows correspond to
-    window rows [m + d, m + d + rows_out). Returns (Co, rows_out, Wc) f32."""
-    acc = None
-    for t in range(9):
-        dy, dx = divmod(t, 3)
-        sl = w[:, m + dy * d:m + dy * d + rows_out,
-               cp + (dx - 1) * d:cp + (dx - 1) * d + Wc]
-        Ci = sl.shape[0]
-        term = jax.lax.dot_general(
-            kt_ref[t], sl.reshape(Ci, rows_out * Wc), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        acc = term if acc is None else acc + term
-    return acc.reshape(-1, rows_out, Wc)
-
-
-def _chain_body(refs, o_ref, *, chunk, T8, dils, has_aff, n_in, h_real,
-                w_real, cp, dt):
-    """Grid-step body shared by `fused_chain` callables."""
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
-    Wc = o_ref.shape[3]
-    prec = _dot_precision(dt)
-
-    @pl.when((i == 0) | (i == nb - 1))
-    def _():
-        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
-
-    @pl.when((i > 0) & (i < nb - 1))
-    def _():
-        base = i * chunk - T8  # canvas row of window row 0
-        it = iter(refs)
-        views = [(next(it), next(it), next(it)) for _ in range(n_in)]
-        affs = [[next(it) for _ in range(n_in)] if has_aff[0] else None]
-        kts = [[next(it) for _ in range(n_in)]]
-        for k in range(1, len(dils)):
-            affs.append(next(it) if has_aff[k] else None)
-            kts.append(next(it))
-
-        # Layer 0 directly on the (activated, masked) input window(s); a
-        # 2-input chain realizes conv(concat(a, b)) as conv_a(a) + conv_b(b).
-        d0 = dils[0]
-        rows0 = (chunk + 2 * T8) - 2 * d0 if len(dils) > 1 else chunk
-        m0 = 0 if len(dils) > 1 else T8 - d0
-        u = None
-        for j in range(n_in):
-            aj = affs[0][j] if affs[0] is not None else None
-            w = _window_value(*views[j], i, chunk, T8, cp, h_real, w_real, aj)
-            t = _acc_conv(w, kts[0][j], d0, m0, rows0, Wc, cp, prec)
-            u = t if u is None else u + t
-        s = d0  # window row of the current value's row 0
-
-        for k in range(1, len(dils)):
-            d = dils[k]
-            # activate + re-mask + column-pad the intermediate
-            if affs[k] is not None:
-                u = jnp.maximum(u * affs[k][0] + affs[k][1], 0)
-            Rk = u.shape[1]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (Rk, Wc), 0) + base + s
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Rk, Wc), 1)
-            mask = (rows >= chunk) & (rows < chunk + h_real) & (cols < w_real)
-            v = jnp.pad(jnp.where(mask, u, 0).astype(dt),
-                        ((0, 0), (0, 0), (cp, cp)))
-            last = k == len(dils) - 1
-            rows_out = chunk if last else Rk - 2 * d
-            m = (T8 - s - d) if last else 0
-            u = _acc_conv(v, kts[k], d, m, rows_out, Wc, cp, prec)
-            s += d
-
-        o_ref[0] = u.astype(o_ref.dtype)
-
-
-def _kt(kernel):
-    """(3, 3, Ci, Co) HWIO -> (9, Co, Ci) per-tap matmul weights."""
-    return jnp.transpose(kernel, (0, 1, 3, 2)).reshape(
-        9, kernel.shape[3], kernel.shape[2])
-
-
-def compose_dwsep(dwk: jnp.ndarray, pwk: jnp.ndarray) -> jnp.ndarray:
-    """Fold depthwise (3, 3, 1, C) + pointwise (Co, C) into one dense
-    (3, 3, C, Co) conv: k[dy,dx,ci,co] = dw[dy,dx,ci] * pw[co,ci]. Exact —
-    there is no nonlinearity between the two convs. Computed in f32."""
-    dw = dwk.reshape(3, 3, -1).astype(jnp.float32)
-    pw = pwk.astype(jnp.float32)
-    return dw[:, :, :, None] * pw.T[None, None, :, :]
-
-
-def fused_chain(inputs, kernels, affines, dilations, *, chunk: int,
-                h_real: int, w_real: int, interpret: bool = False,
-                out_dtype=None) -> jnp.ndarray:
-    """A chain of [BN-affine + ReLU +] dense dilated-3x3 conv layers in ONE
-    Pallas kernel; intermediates never leave VMEM.
-
-    Args:
-      inputs: tuple of 1 or 2 layer canvases (B, Ci, Hc, Wc) built by
-        `layer_canvas(x, chunk)`. With 2 inputs, layer 0 computes
-        conv_a(x_a) + conv_b(x_b) == conv(concat(x_a, x_b)) (the reference
-        head's entry over concatenated towers, models/submodules.py:302-311).
-      kernels: list, one per layer; kernels[0] is a tuple (one per input).
-        Each (3, 3, Ci, Co) HWIO. Depthwise-separable layers pass
-        `compose_dwsep(dwk, pwk)`.
-      affines: list, one per layer; affines[0] a tuple per input. Each
-        (2, Ci) folded BN or None (no BN+ReLU before that conv).
-      dilations: list of per-layer dilations; requires
-        chunk >= round8(sum(dilations)).
-    Returns:
-      (B, Co_last, Hc, Wc) layer canvas.
-    """
-    n_in = len(inputs)
-    assert n_in in (1, 2), n_in
-    B, _, Hc, Wc = inputs[0].shape
-    dils = tuple(int(d) for d in dilations)
-    T8 = _round8(sum(dils))
-    assert chunk >= T8 and Hc % chunk == 0, (chunk, T8, Hc)
-    cp = max(dils)
-    dt = inputs[0].dtype
-    Co = kernels[-1].shape[-1] if len(dils) > 1 else kernels[0][0].shape[-1]
-    nb = Hc // chunk
-
-    in_specs, args, has_aff = [], [], []
-    for x in inputs:
-        in_specs += _in_specs(x.shape[1], chunk, Wc, nb)
-        args += [x, x, x]
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def bcast_aff(a):
-        c = a.shape[1]
-        return jnp.broadcast_to(
-            a.astype(dt).reshape(2, c, 1, 1), (2, c, 1, Wc))
-
-    aff0, k0 = affines[0], kernels[0]
-    aff0 = aff0 if isinstance(aff0, (tuple, list)) else (aff0,) * n_in
-    k0 = k0 if isinstance(k0, (tuple, list)) else (k0,)
-    has_aff.append(aff0[0] is not None)
-    if has_aff[0]:
-        for a in aff0:
-            args.append(bcast_aff(a))
-            in_specs.append(vm)
-    for k in k0:
-        args.append(_kt(k.astype(dt)))
-        in_specs.append(vm)
-    for k in range(1, len(dils)):
-        has_aff.append(affines[k] is not None)
-        if has_aff[-1]:
-            args.append(bcast_aff(affines[k]))
-            in_specs.append(vm)
-        args.append(_kt(kernels[k].astype(dt)))
-        in_specs.append(vm)
-
-    def body(*refs):
-        _chain_body(refs[:-1], refs[-1], chunk=chunk, T8=T8, dils=dils,
-                    has_aff=tuple(has_aff), n_in=n_in, h_real=h_real,
-                    w_real=w_real, cp=cp, dt=dt)
-
-    return pl.pallas_call(
-        body,
-        grid=(B, nb),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Co, chunk, Wc), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Co, Hc, Wc), out_dtype or dt),
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(*args)
-
-
-# ---------------------------------------------------------------------------
-# Whole-chain kernels: an entire refinement tower (entry conv + 4 dw-sep
-# layers) or the refinement head (dense dilated conv + 4 dw-sep layers +
-# 1-channel output conv) in ONE kernel. Activations never leave VMEM between
-# layers — this removes the ~0.3 ms/layer block-copy machinery and every
-# intermediate HBM round trip that per-layer kernels pay.
-#
-# Geometry. The wrapper pads the planar image to its own "chain canvas":
-# rows [chunk, chunk + H) are real (top pad = one full chunk, bottom pad >=
-# one chunk), width lane-aligned to Wc. The grid tiles output rows in
-# `chunk`-row blocks; blocks 0 and nb-1 are pure padding and just write
-# zeros. Interior block i DMAs the row window
-#     [i*chunk - T8, i*chunk + chunk + T8)        T8 = sum(dilations)+1,
-#                                                 rounded up to 8 (DMA rows
-#                                                 stay 8-aligned)
-# from the HBM-resident input into a VMEM buffer — chunk >= T8 guarantees
-# the window never leaves the canvas, so no clamping and no misalignment.
-# Within the window every layer's valid row range is STATIC: layer k's input
-# occupies buffer rows [o0 + m_k, R8 - o0 - m_k), o0 = T8 - sum(d) - 1,
-# m_{k+1} = m_k + d_k. Image columns sit at [_CPAD, _CPAD + w_real);
-# everything outside stays zero (buffers zeroed per step; layers only write
-# the real-column span), giving the convs their zero padding for free.
-# ---------------------------------------------------------------------------
-
-_CPAD = 128  # in-buffer column margin (>= max dilation; multiple of 128)
-
-
-def _chain_margins(dilations):
-    m = [0]
-    for d in dilations:
-        m.append(m[-1] + d)
-    return m
-
-
-def _round8(n):
-    return -(-n // 8) * 8
-
-
-def _row_mask(base, m, rows, w_real, pad_top, h_real):
-    """Real-image row mask for buffer rows [m, m+rows); `base` is the canvas
-    row of buffer row 0, real canvas rows are [pad_top, pad_top + h_real)."""
-    g = jax.lax.broadcasted_iota(jnp.int32, (rows, w_real), 0) + (base + m)
-    return (g >= pad_top) & (g < pad_top + h_real)
-
-
-def _apply_bn_relu(buf, aff_ref, k, base, m, rows, w_real, pad_top, h_real):
-    """In-place BN-affine + ReLU on buffer rows [m, m+rows), real columns
-    only; out-of-image rows forced to zero (the conv's zero padding must
-    surround *activated* values, reference: models/submodules.py:238-259).
-    aff_ref: (L, 2, C, 1, >=w_real)."""
-    v = buf[:, m:m + rows, _CPAD:_CPAD + w_real]
-    v = jnp.maximum(v * aff_ref[k, 0, :, :, :w_real]
-                    + aff_ref[k, 1, :, :, :w_real], 0)
-    mask = _row_mask(base, m, rows, w_real, pad_top, h_real)
-    buf[:, m:m + rows, _CPAD:_CPAD + w_real] = jnp.where(
-        mask, v, 0).astype(buf.dtype)
-
-
-def _dwsep_step(src, dst, dw_ref, pw_ref, k, d, m, rows_in, Wc, w_real):
-    """One depthwise(dilated d) + pointwise layer: src rows [m, m+rows_in)
-    (already activated) -> dst rows [m+d, m+d+rows_in-2d), real columns.
-    dw_ref: (L, 9, C, 1, >=Wc); pw_ref: (L, Co, C)."""
-    rows_out = rows_in - 2 * d
-    acc = None
-    for dy in range(3):
-        for dx in range(3):
-            sl = src[:, m + dy * d:m + dy * d + rows_out,
-                     _CPAD + (dx - 1) * d:_CPAD + (dx - 1) * d + Wc]
-            term = sl * dw_ref[k, dy * 3 + dx]
-            acc = term if acc is None else acc + term
-    C = acc.shape[0]
-    out = jax.lax.dot_general(
-        pw_ref[k], acc.reshape(C, rows_out * Wc), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_dot_precision(acc.dtype))
-    Co = out.shape[0]
-    out = out.reshape(Co, rows_out, Wc).astype(dst.dtype)
-    dst[:, m + d:m + d + rows_out, _CPAD:_CPAD + w_real] = out[:, :, :w_real]
-
-
-def _zero_and_dma(x_ref, buf, sem, b, i, chunk, T8, Wc):
-    """Zero `buf`, then DMA the row window [i*chunk - T8, +R8) of batch b's
-    HBM canvas into its center columns. Returns the window's canvas base."""
-    R8 = buf.shape[1]
-    buf[:] = jnp.zeros(buf.shape, buf.dtype)
-    # chunk and T8 are multiples of 8; hint it so Mosaic allows the DMA slice
-    start = pl.multiple_of(i * chunk - T8, 8)
-    dma = pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(start, R8), :],
-        buf.at[:, :, _CPAD:_CPAD + Wc],
-        sem)
-    dma.start()
-    dma.wait()
-    return start
-
-
-def _tower_kernel(x_ref, ek_ref, aff_ref, dw_ref, pw_ref, o_ref,
-                  xbuf, a_buf, b_buf, sem,
-                  *, chunk, T8, dilations, pad_top, h_real, w_real, cin):
-    """Entry 3x3 dense conv (d=1, no BN) + len(dilations) dw-sep layers."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
-    Wc = o_ref.shape[3]
-    R8 = xbuf.shape[1]
-    o0 = T8 - (1 + sum(dilations))
-
-    @pl.when((i == 0) | (i == nb - 1))
-    def _():
-        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
-
-    @pl.when((i > 0) & (i < nb - 1))
-    def _():
-        base = _zero_and_dma(x_ref, xbuf, sem, b, i, chunk, T8, Wc)
-        a_buf[:] = jnp.zeros(a_buf.shape, a_buf.dtype)
-        b_buf[:] = jnp.zeros(b_buf.shape, b_buf.dtype)
-
-        # mask out-of-image rows of the raw input (no BN on the entry conv,
-        # reference: models/submodules.py:284-286)
-        v = xbuf[:, :, _CPAD:_CPAD + w_real]
-        mask = _row_mask(base, 0, R8, w_real, pad_top, h_real)
-        xbuf[:, :, _CPAD:_CPAD + w_real] = jnp.where(
-            mask, v, 0).astype(xbuf.dtype)
-
-        # entry conv: im2col stack over 9 taps x cin channels, one matmul
-        rows_in = R8 - 2 * o0
-        rows_out = rows_in - 2
-        taps = [xbuf[:, o0 + dy:o0 + dy + rows_out,
-                     _CPAD + (dx - 1):_CPAD + (dx - 1) + Wc]
-                for dy in range(3) for dx in range(3)]
-        stack = jnp.concatenate(taps, axis=0)  # (9*cin, rows_out, Wc)
-        out = jax.lax.dot_general(
-            ek_ref[:], stack.reshape(9 * cin, rows_out * Wc),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=_dot_precision(stack.dtype))
-        F = out.shape[0]
-        out = out.reshape(F, rows_out, Wc).astype(a_buf.dtype)
-        a_buf[:, o0 + 1:o0 + 1 + rows_out,
-              _CPAD:_CPAD + w_real] = out[:, :, :w_real]
-
-        margins = [o0 + 1 + m for m in _chain_margins(dilations)]
-        bufs = [a_buf, b_buf]
-        for k, d in enumerate(dilations):
-            src, dst = bufs[k % 2], bufs[(k + 1) % 2]
-            rows_k = R8 - 2 * margins[k]
-            _apply_bn_relu(src, aff_ref, k, base, margins[k], rows_k,
-                           w_real, pad_top, h_real)
-            _dwsep_step(src, dst, dw_ref, pw_ref, k, d, margins[k], rows_k,
-                        Wc, w_real)
-        final = bufs[len(dilations) % 2]
-        o_ref[0] = final[:, T8:T8 + chunk, _CPAD:_CPAD + Wc]
-
-
 def _chain_canvas(x, chunk):
-    """Pad planar (B, C, H, W) to the chain canvas: top pad = one chunk,
+    """Pad planar (B, C, H, W) to the layer canvas: top pad = one chunk,
     bottom pad fills to (ceil(H/chunk) + 2) * chunk rows, width lane-aligned."""
     B, C, H, W = x.shape
     Wc = -(-W // 128) * 128
@@ -798,221 +458,3 @@ def _chain_canvas(x, chunk):
     Hc = (n_real + 2) * chunk
     return jnp.pad(x, ((0, 0), (0, 0), (chunk, Hc - chunk - H),
                        (0, Wc - W))), Hc, Wc
-
-
-def _pick_chain_chunk(total8, *buffer_channels, wc):
-    """Largest chunk whose VMEM scratch footprint stays under budget."""
-    budget = 72 * 1024 * 1024
-    wcp = wc + 2 * _CPAD
-    for chunk in (184, 152, 112, 96, 64, 48, 32):
-        if chunk < total8:
-            continue
-        rows = chunk + 2 * total8
-        if sum(c * rows * wcp * 2 for c in buffer_channels) <= budget:
-            return chunk
-    raise ValueError("no chain chunk fits VMEM")
-
-
-def fused_tower(x: jnp.ndarray, entry_kernel: jnp.ndarray,
-                affines: jnp.ndarray, dwks: jnp.ndarray, pwks: jnp.ndarray,
-                *, dilations, interpret: bool = False) -> jnp.ndarray:
-    """A full refinement tower (reference: models/submodules.py:282-300) in
-    one kernel: plain 3x3 conv then L = len(dilations) dw-sep layers each
-    preceded by BN-affine + ReLU.
-
-    Args:
-      x: (B, Ci, H, W) PLANAR image (Ci = 3 RGB or 1 disparity).
-      entry_kernel: (3, 3, Ci, F) HWIO.
-      affines: (L, 2, F) folded BN per layer.
-      dwks: (L, 3, 3, 1, F) depthwise taps per layer.
-      pwks: (L, F, F) pointwise weights per layer.
-    Returns:
-      (B, F, H, W) planar.
-    """
-    B, Ci, H, W = x.shape
-    L = len(dilations)
-    F = pwks.shape[1]
-    total = 1 + sum(dilations)
-    T8 = _round8(total)
-    Wc = -(-W // 128) * 128
-    chunk = _pick_chain_chunk(T8, Ci, F, F, wc=Wc)
-    xc, Hc, Wc = _chain_canvas(x, chunk)
-    R8 = chunk + 2 * T8
-    Wcp = Wc + 2 * _CPAD
-    dt = x.dtype
-
-    ek = jnp.transpose(entry_kernel, (3, 0, 1, 2)).reshape(F, 9 * Ci)
-    aff = jnp.broadcast_to(affines[:, :, :, None, None], (L, 2, F, 1, Wc))
-    dwt = jnp.broadcast_to(dwks.reshape(L, 9, F)[:, :, :, None, None],
-                           (L, 9, F, 1, Wc))
-    out = pl.pallas_call(
-        functools.partial(_tower_kernel, chunk=chunk, T8=T8,
-                          dilations=tuple(dilations), pad_top=chunk,
-                          h_real=H, w_real=W, cin=Ci),
-        grid=(B, Hc // chunk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, F, chunk, Wc), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, F, Hc, Wc), dt),
-        scratch_shapes=[
-            pltpu.VMEM((Ci, R8, Wcp), dt),   # entry input window
-            pltpu.VMEM((F, R8, Wcp), dt),    # ping
-            pltpu.VMEM((F, R8, Wcp), dt),    # pong
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(xc, ek, aff, dwt, pwks)
-    return out[:, :, chunk:chunk + H, :W]
-
-
-def _head_kernel(x_ref, aff0_ref, k0_ref, aff_ref, dw_ref, pw_ref, fk_ref,
-                 o_ref, xbuf, a_buf, b_buf, sem,
-                 *, chunk, T8, d0, dilations, pad_top, h_real, w_real,
-                 cin, cmid):
-    """BN+ReLU+dense 3x3 (dilation d0) + dw-sep chain + plain 3x3 -> 1."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    nb = pl.num_programs(1)
-    Wc = o_ref.shape[3]
-    R8 = xbuf.shape[1]
-    o0 = T8 - (d0 + sum(dilations) + 1)
-
-    @pl.when((i == 0) | (i == nb - 1))
-    def _():
-        o_ref[:] = jnp.zeros(o_ref.shape, o_ref.dtype)
-
-    @pl.when((i > 0) & (i < nb - 1))
-    def _():
-        base = _zero_and_dma(x_ref, xbuf, sem, b, i, chunk, T8, Wc)
-        a_buf[:] = jnp.zeros(a_buf.shape, a_buf.dtype)
-        b_buf[:] = jnp.zeros(b_buf.shape, b_buf.dtype)
-
-        # BN + ReLU then dense dilated conv (reference:
-        # models/submodules.py:302-311) via 9 per-tap matmuls, f32 accum.
-        v = xbuf[:, :, _CPAD:_CPAD + w_real]
-        v = jnp.maximum(v * aff0_ref[0, :, :, :w_real]
-                        + aff0_ref[1, :, :, :w_real], 0)
-        mask = _row_mask(base, 0, R8, w_real, pad_top, h_real)
-        xbuf[:, :, _CPAD:_CPAD + w_real] = jnp.where(
-            mask, v, 0).astype(xbuf.dtype)
-
-        rows_in = R8 - 2 * o0
-        rows_out = rows_in - 2 * d0
-        acc = None
-        for dy in range(3):
-            for dx in range(3):
-                sl = xbuf[:, o0 + dy * d0:o0 + dy * d0 + rows_out,
-                          _CPAD + (dx - 1) * d0:_CPAD + (dx - 1) * d0 + Wc]
-                term = jax.lax.dot_general(
-                    k0_ref[dy * 3 + dx], sl.reshape(cin, rows_out * Wc),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_dot_precision(sl.dtype))
-                acc = term if acc is None else acc + term
-        out = acc.reshape(cmid, rows_out, Wc).astype(a_buf.dtype)
-        a_buf[:, o0 + d0:o0 + d0 + rows_out,
-              _CPAD:_CPAD + w_real] = out[:, :, :w_real]
-
-        margins = [o0 + d0 + m for m in _chain_margins(dilations)]
-        bufs = [a_buf, b_buf]
-        for k, d in enumerate(dilations):
-            src, dst = bufs[k % 2], bufs[(k + 1) % 2]
-            rows_k = R8 - 2 * margins[k]
-            _apply_bn_relu(src, aff_ref, k, base, margins[k], rows_k,
-                           w_real, pad_top, h_real)
-            _dwsep_step(src, dst, dw_ref, pw_ref, k, d, margins[k], rows_k,
-                        Wc, w_real)
-        final = bufs[len(dilations) % 2]
-
-        # plain 3x3 -> 1 output conv on the VPU
-        # (reference: models/submodules.py:313-318)
-        m = margins[-1]
-        # every other conv's input is re-masked by the next activation; the
-        # output conv has none, so zero out-of-image rows of `final` here to
-        # reproduce the conv's zero padding at the image boundary
-        rows_f = R8 - 2 * m
-        vf = final[:, m:m + rows_f, _CPAD:_CPAD + w_real]
-        mf = _row_mask(base, m, rows_f, w_real, pad_top, h_real)
-        final[:, m:m + rows_f, _CPAD:_CPAD + w_real] = jnp.where(
-            mf, vf, 0).astype(final.dtype)
-        facc = jnp.zeros((chunk, Wc), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                sl = final[:, m + dy:m + dy + chunk,
-                           _CPAD + (dx - 1):_CPAD + (dx - 1) + Wc]
-                for ci in range(cmid):
-                    facc = facc + (sl[ci].astype(jnp.float32)
-                                   * fk_ref[ci, dy * 3 + dx])
-        o_ref[0, 0] = facc.astype(o_ref.dtype)
-
-
-def fused_head(x: jnp.ndarray, affine0: jnp.ndarray, dense_kernel: jnp.ndarray,
-               affines: jnp.ndarray, dwks: jnp.ndarray, pwks: jnp.ndarray,
-               out_kernel: jnp.ndarray, *, dense_dilation: int, dilations,
-               interpret: bool = False) -> jnp.ndarray:
-    """The refinement head (reference: models/submodules.py:302-326) in one
-    kernel: BN+ReLU+dense dilated 3x3 (2F -> F), L dw-sep layers, plain
-    3x3 -> 1 output conv.
-
-    Args:
-      x: (B, 2F, H, W) PLANAR (concatenated tower outputs).
-      affine0: (2, 2F) folded BN for the dense layer's input.
-      dense_kernel: (3, 3, 2F, F) HWIO.
-      affines: (L, 2, F); dwks: (L, 3, 3, 1, F); pwks: (L, F, F).
-      out_kernel: (3, 3, F, 1) HWIO.
-    Returns:
-      (B, 1, H, W) planar.
-    """
-    B, C2, H, W = x.shape
-    L = len(dilations)
-    F = pwks.shape[1]
-    total = dense_dilation + sum(dilations) + 1
-    T8 = _round8(total)
-    Wc = -(-W // 128) * 128
-    chunk = _pick_chain_chunk(T8, C2, F, F, wc=Wc)
-    xc, Hc, Wc = _chain_canvas(x, chunk)
-    R8 = chunk + 2 * T8
-    Wcp = Wc + 2 * _CPAD
-    dt = x.dtype
-
-    aff0 = jnp.broadcast_to(affine0[:, :, None, None], (2, C2, 1, Wc))
-    k0 = jnp.transpose(dense_kernel, (0, 1, 3, 2)).reshape(9, F, C2)
-    aff = jnp.broadcast_to(affines[:, :, :, None, None], (L, 2, F, 1, Wc))
-    dwt = jnp.broadcast_to(dwks.reshape(L, 9, F)[:, :, :, None, None],
-                           (L, 9, F, 1, Wc))
-    fk = jnp.transpose(out_kernel[..., 0], (2, 0, 1)).reshape(F, 9)
-    fk = fk.astype(jnp.float32)
-    out = pl.pallas_call(
-        functools.partial(_head_kernel, chunk=chunk, T8=T8, d0=dense_dilation,
-                          dilations=tuple(dilations), pad_top=chunk,
-                          h_real=H, w_real=W, cin=C2, cmid=F),
-        grid=(B, Hc // chunk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, chunk, Wc), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, Hc, Wc), dt),
-        scratch_shapes=[
-            pltpu.VMEM((C2, R8, Wcp), dt),
-            pltpu.VMEM((F, R8, Wcp), dt),
-            pltpu.VMEM((F, R8, Wcp), dt),
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )(xc, aff0, k0, aff, dwt, pwks, fk)
-    return out[:, :, chunk:chunk + H, :W]

@@ -5,9 +5,8 @@ depthwise-separable dilated convs, a 64->32 dense head conv, 4 more dw-sep
 convs, and a 3x3->1 output conv; reference: models/submodules.py:282-326).
 The planar (B, C, H, W) kernels in `refine.py` unroll every vector op over
 the C axis at Mosaic compile time — ~8k vector registers per window — which
-is why the "layers" mode costs ~270 s of cold Mosaic compile and the whole-
-chain "fused" mode is hour-class. This module reaches the same math with
-2-D values only:
+is why the "layers" mode costs ~270 s of cold Mosaic compile. This module
+reaches the same math with 2-D values only:
 
 * **Canvas**: activations live as (B, C+1, NR*S) — channels (plus one mask
   row) on sublanes, the padded image plane flattened on lanes with row
@@ -15,14 +14,21 @@ chain "fused" mode is hour-class. This module reaches the same math with
   vertical tap shift of d rows is a lane shift of d*S ≡ 0 (mod 128): the
   three dy taps of a dense conv K-stack into one operand with matching
   vector layouts, and dw-sep windows assemble from whole-row views.
-* **Grid**: (batch, row blocks of R(d) rows). The dy reach comes from two
-  extra views of the SAME canvas covering d rows above/below the block —
-  index maps in d-row block units, so the halo DMA is d rows, not R.
+* **Grid**: (batch, row blocks of R rows). The dy reach comes from two
+  extra views of the SAME canvas covering halo rows above/below the block —
+  index maps in halo-row block units, so the halo DMA is the halo, not R.
 * **Depthwise** taps are 9 VPU multiply-adds of (C, R*S) values against
   lane-pre-broadcast per-channel weights; **pointwise** (and dense) convs
   are MXU matmuls with channels on the contraction axis. BN+ReLU folds
   into the window activation; the mask row zeroes canvas pads so garbage
   never propagates (no pl.when edge cases).
+* **Pair fusion** (`dwsep2_layer`): two consecutive dw-sep layers in one
+  kernel — the intermediate activation never touches HBM, halving the
+  chain's canvas round trips.
+* **Weight groups**: every weight operand carries a leading G axis blocked
+  on the grid's batch index, so the two refinement towers (different
+  weights, identical shapes) run as ONE 2B-batch kernel chain instead of
+  two B-batch chains.
 
 Out-of-image semantics match the reference's padding=dilation quirk
 (zeros beyond the image; reference: models/submodules.py:238-280). The XLA
@@ -41,25 +47,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAXD = 16  # largest dilation in the reference schedules
 
+# Row-block height shared by every layer of the paired pipeline. All the
+# dilations (1, 8) and pair sums (2+4, 8+16, 8+4, 2+1) that occur in the
+# reference schedules satisfy the divisibility constraints below at R = 48.
+PAIR_UNIT = 48
+
+# Ship per-channel weights as (.., C, 1) operands and let the kernels'
+# jnp broadcasting replicate them along lanes (Mosaic handles minor-dim
+# broadcasts in current jax). The pre-broadcast fallback materializes
+# (.., C, width) operands in HBM — tens of MB per layer, which both costs
+# bandwidth and overflows VMEM for the pair-fused kernels. Env override
+# LWSNET_ROWS_COMPACT=0 restores the fallback if a Mosaic regression ever
+# rejects the compact form.
+import os as _os
+
+COMPACT_WEIGHTS = _os.environ.get("LWSNET_ROWS_COMPACT", "1") != "0"
+
 
 def _round128(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def canvas_geom(H: int, W: int):
+def canvas_geom(H: int, W: int, unit: int = 32):
     """(row stride S, canvas rows NR). Image pixel (y, x) lives at canvas
-    row MAXD + y, lane offset MAXD + x within the row."""
+    row MAXD + y, lane offset MAXD + x within the row. `unit` sets the
+    NR granularity: 32 for the solo per-layer pipeline, PAIR_UNIT for the
+    pair-fused pipeline (every block height must divide NR)."""
     S = _round128(W + 2 * MAXD)
-    NR = 32 * (-(-(H + 2 * MAXD) // 32))  # divisible by every block R
+    NR = unit * (-(-(H + 2 * MAXD) // unit))
     return S, NR
 
 
 def _block_rows(d: int) -> int:
-    """Row-block height for dilation d: a multiple of 2d (the halo views'
-    block unit) that keeps the grid short. 32 rows for every dilation =
-    NR/32 grid steps per layer (NR is always a multiple of 32): measured
-    faster than the minimal max(8, 2d) blocks, whose 52-step grids at
-    d<=4 were dominated by per-step overhead."""
+    """Row-block height for a solo layer of dilation d: a multiple of 2d
+    (the halo views' block unit) that keeps the grid short. 32 rows for
+    every dilation = NR/32 grid steps per layer (NR is a multiple of 32
+    in the solo pipeline): measured faster than the minimal max(8, 2d)
+    blocks, whose 52-step grids at d<=4 were dominated by per-step
+    overhead."""
     return max(32, 2 * d)
 
 
@@ -88,8 +113,16 @@ def _views(rows: int, S: int, NR: int, R: int, d: int):
     canvas. The halo views are 2d rows (not d) because the corner taps'
     slices run d LANES past the d-row dy reach on each side. Clamped edge
     reads feed only outputs on canvas pad rows, which the mask row
-    zeroes."""
-    q2 = R // (2 * d)  # R = max(8, 2d) keeps this an integer >= 1
+    zeroes.
+
+    The index maps step in 2d-row block units, so both the row block R and
+    the canvas height NR must be multiples of 2d — true for every layer
+    and pair of the reference schedules under both pipelines (R = 32/48,
+    NR a multiple of 32/PAIR_UNIT); asserted because a new dilation would
+    otherwise silently misalign the halo views."""
+    assert R % (2 * d) == 0, (R, d)
+    assert NR % (2 * d) == 0, (NR, d)
+    q2 = R // (2 * d)
     nd2 = NR // (2 * d)
 
     return [
@@ -110,45 +143,97 @@ def _window(p_ref, c_ref, n_ref):
     return jnp.concatenate([p_ref[0], c_ref[0], n_ref[0]], axis=1)
 
 
-def _activate(win, aff_ref, C):
-    """BN-affine + ReLU + mask over the window's C data rows. `aff_ref` is
-    (2, C, win_width) pre-broadcast along lanes (Mosaic cannot broadcast a
-    (C, 1) vector along lanes); the mask row kills canvas pads so the
-    affine shift never leaks into them."""
-    act = jnp.maximum(win[:C] * aff_ref[0] + aff_ref[1], 0)
+def _activate(win, aff, C):
+    """BN-affine + ReLU + mask over the window's C data rows. `aff` is
+    (2, C, 1) (lane-broadcast by the multiply) or (2, C, win_width)
+    pre-broadcast, per COMPACT_WEIGHTS; the mask row kills canvas pads so
+    the affine shift never leaks into them."""
+    act = jnp.maximum(win[:C] * aff[0] + aff[1], 0)
     return act * win[C:C + 1]
 
 
 def _dwsep_kernel(p_ref, c_ref, n_ref, aff_ref, dw_ref, pw_ref, o_ref, *,
                   S, R, d, precision):
-    C = pw_ref.shape[1]
+    aff, dw, pw = aff_ref[0], dw_ref[0], pw_ref[0]
+    C = pw.shape[1]
     RS = R * S
-    win = _activate(_window(p_ref, c_ref, n_ref), aff_ref, C)
+    win = _activate(_window(p_ref, c_ref, n_ref), aff, C)
     acc = None
     for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
                                  for dx in (-1, 0, 1)):
         off = 2 * d * S + dy * d * S + dx * d
-        term = win[:, off:off + RS] * dw_ref[t]
+        term = win[:, off:off + RS] * dw[t]
         acc = term if acc is None else acc + term
     out = jax.lax.dot_general(
-        pw_ref[:], acc, (((1,), (0,)), ((), ())),
+        pw, acc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
     # Mask the OUTPUT too: taps spread nonzero values into canvas pads, and
     # a later activation-free layer (the final conv) must read zeros there —
     # the reference zero-pads every layer's input.
     mask = c_ref[0, C:C + 1]
-    o_ref[0, 0:pw_ref.shape[0]] = (out * mask).astype(o_ref.dtype)
-    o_ref[0, pw_ref.shape[0]:] = mask.astype(o_ref.dtype)
+    o_ref[0, 0:pw.shape[0]] = (out * mask).astype(o_ref.dtype)
+    o_ref[0, pw.shape[0]:] = mask.astype(o_ref.dtype)
+
+
+def _dwsep2_kernel(p_ref, c_ref, n_ref, a1_ref, dw1_ref, pw1_ref,
+                   a2_ref, dw2_ref, pw2_ref, o_ref, *,
+                   S, R, D, d1, d2, precision):
+    """TWO consecutive dw-sep layers; the intermediate lives only as a VMEM
+    value. Views carry a 2D-row halo (D = d1 + d2). The intermediate is
+    computed for block rows [-d2-1, R+d2+1) — the extra row each side
+    covers the +-d2 LANE overhang of layer 2's corner taps (a lane shift
+    crosses into the neighboring canvas row, whose pad columns the mask
+    row has zeroed)."""
+    a1, dw1, pw1 = a1_ref[0], dw1_ref[0], pw1_ref[0]
+    a2, dw2, pw2 = a2_ref[0], dw2_ref[0], pw2_ref[0]
+    C, Cm = pw1.shape[1], pw1.shape[0]
+    RS = R * S
+    ri = R + 2 * d2 + 2          # intermediate rows
+    m0 = 2 * D - d2 - 1          # window row of intermediate row 0
+    win = _window(p_ref, c_ref, n_ref)            # (C+1, (R+4D)*S)
+    act = _activate(win, a1, C)
+
+    acc = None
+    for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
+                                 for dx in (-1, 0, 1)):
+        off = (m0 + dy * d1) * S + dx * d1
+        term = act[:, off:off + ri * S] * dw1[t]
+        acc = term if acc is None else acc + term
+    inter = jax.lax.dot_general(
+        pw1, acc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    # Same op order as the solo pair: the first kernel writes
+    # (out * mask).astype(dt), the second applies BN-affine + ReLU in dt and
+    # re-masks — so round the f32 dot output to dt before the affine and
+    # multiply by the canvas mask on both sides.
+    mask_i = win[C:C + 1, m0 * S:m0 * S + ri * S]
+    inter = (inter * mask_i).astype(act.dtype)
+    inter = jnp.maximum(inter * a2[0] + a2[1], 0) * mask_i
+
+    acc = None
+    for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
+                                 for dx in (-1, 0, 1)):
+        off = (d2 + 1 + dy * d2) * S + dx * d2
+        term = inter[:, off:off + RS] * dw2[t]
+        acc = term if acc is None else acc + term
+    out = jax.lax.dot_general(
+        pw2, acc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    mask = c_ref[0, C:C + 1]
+    o_ref[0, 0:pw2.shape[0]] = (out * mask).astype(o_ref.dtype)
+    o_ref[0, pw2.shape[0]:] = mask.astype(o_ref.dtype)
 
 
 def _dense_kernel(p_ref, c_ref, n_ref, aff_ref, w_ref, o_ref, *,
                   S, R, d, activate, precision):
-    Ci = w_ref.shape[2] // 3
-    Co = w_ref.shape[1]
+    aff, w = aff_ref[0], w_ref[0]
+    Ci = w.shape[2] // 3
+    Co = w.shape[1]
     RS = R * S
     win = _window(p_ref, c_ref, n_ref)
     if activate:
-        data = _activate(win, aff_ref, Ci)
+        data = _activate(win, aff, Ci)
     else:
         data = win[:Ci]
     acc = None
@@ -160,7 +245,7 @@ def _dense_kernel(p_ref, c_ref, n_ref, aff_ref, w_ref, o_ref, *,
                   2 * d * S + dy * d * S + dx * d + RS]
              for dy in (-1, 0, 1)], axis=0)
         term = jax.lax.dot_general(
-            w_ref[t], sl, (((1,), (0,)), ((), ())),
+            w[t], sl, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         acc = term if acc is None else acc + term
     mask = c_ref[0, win.shape[0] - 1:]  # see _dwsep_kernel: pads stay zero
@@ -169,13 +254,29 @@ def _dense_kernel(p_ref, c_ref, n_ref, aff_ref, w_ref, o_ref, *,
 
 
 def _call(kernel, x, consts, *, rows_in, rows_out, S, NR, R, d, out_dtype,
-          interpret):
+          interpret, groups=1):
+    """Launch a row-canvas kernel. Every const carries a leading G axis
+    (G == `groups`) blocked on the grid's batch index: batch b uses const
+    block b // (B // G) — one weight set per contiguous batch group, which
+    is how the two towers share a kernel chain. G == 1 degenerates to a
+    single block Mosaic keeps resident across the grid."""
     B = x.shape[0]
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    assert B % groups == 0, (B, groups)
+    per = B // groups
+
+    def const_spec(c):
+        nd = c.ndim - 1
+        return pl.BlockSpec(
+            (1,) + c.shape[1:],
+            functools.partial(
+                lambda nd_, b, r: (b // per,) + (0,) * nd_, nd),
+            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kernel,
         grid=(B, NR // R),
-        in_specs=_views(rows_in, S, NR, R, d) + [vm] * len(consts),
+        in_specs=_views(rows_in, S, NR, R, d)
+        + [const_spec(c) for c in consts],
         out_specs=pl.BlockSpec((1, rows_out, R * S), lambda b, c: (b, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, rows_out, NR * S), out_dtype),
@@ -189,48 +290,112 @@ def _precision(dt):
     return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
 
 
+def _perch(w, width: int, dt):
+    """Per-channel weight operand: compact (.., C, 1) by default (the
+    kernels' jnp broadcasting replicates along lanes), or pre-broadcast to
+    `width` lanes when COMPACT_WEIGHTS is off."""
+    if COMPACT_WEIGHTS:
+        return w.astype(dt)
+    return jnp.broadcast_to(w, w.shape[:-1] + (width,)).astype(dt)
+
+
+def _with_group_axis(w, groups: int, base_ndim: int):
+    """Ensure a weight operand carries the leading (G, ...) group axis."""
+    w = jnp.asarray(w)
+    if w.ndim == base_ndim:
+        assert groups == 1, (w.shape, groups)
+        return w[None]
+    assert w.shape[0] == groups, (w.shape, groups)
+    return w
+
+
 def dwsep_layer(x: jnp.ndarray, affine: jnp.ndarray, dwk: jnp.ndarray,
                 pwk: jnp.ndarray, *, dilation: int, S: int, NR: int,
+                groups: int = 1, block_rows: int = 0,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused BN-affine + ReLU + depthwise dilated 3x3 + pointwise 1x1 on a
-    canvas. x: (B, C+1, NR*S); affine: (2, C); dwk: (3, 3, 1, C) HWIO;
-    pwk: (Co, C). Returns a (B, Co+1, NR*S) canvas."""
-    C, Co = pwk.shape[1], pwk.shape[0]
-    d, R = dilation, _block_rows(dilation)
+    canvas. x: (B, C+1, NR*S); affine: ([G,] 2, C); dwk: ([G,] 3, 3, 1, C)
+    HWIO; pwk: ([G,] Co, C). With `groups` G > 1, batch b uses weight set
+    b // (B // G). Returns a (B, Co+1, NR*S) canvas."""
+    affine = _with_group_axis(affine, groups, 2)
+    dwk = _with_group_axis(dwk, groups, 4)
+    pwk = _with_group_axis(pwk, groups, 2)
+    G, C, Co = groups, pwk.shape[2], pwk.shape[1]
+    d = dilation
+    R = block_rows or _block_rows(d)
     dt = x.dtype
     width = (R + 4 * d) * S  # window incl. the 2d-row halo views
-    aff = jnp.broadcast_to(affine.reshape(2, C, 1), (2, C, width)).astype(dt)
-    dwt = jnp.broadcast_to(dwk.reshape(9, C)[:, :, None],
-                           (9, C, R * S)).astype(dt)
+    aff = _perch(affine.reshape(G, 2, C, 1), width, dt)
+    dwt = _perch(dwk.reshape(G, 9, C)[:, :, :, None], R * S, dt)
     return _call(
         functools.partial(_dwsep_kernel, S=S, R=R, d=d,
                           precision=_precision(dt)),
         x, (aff, dwt, pwk.astype(dt)), rows_in=C + 1, rows_out=Co + 1,
-        S=S, NR=NR, R=R, d=d, out_dtype=dt, interpret=interpret)
+        S=S, NR=NR, R=R, d=d, out_dtype=dt, interpret=interpret,
+        groups=groups)
+
+
+def dwsep2_layer(x: jnp.ndarray, affine1, dwk1, pwk1, affine2, dwk2, pwk2,
+                 *, dilation1: int, dilation2: int, S: int, NR: int,
+                 groups: int = 1, block_rows: int = PAIR_UNIT,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Two consecutive dw-sep layers in ONE kernel (see `_dwsep2_kernel`).
+    Args as `dwsep_layer`, twice; requires NR and block_rows divisible by
+    2*(dilation1 + dilation2). Returns (B, Co2+1, NR*S)."""
+    a1 = _with_group_axis(affine1, groups, 2)
+    k1 = _with_group_axis(dwk1, groups, 4)
+    p1 = _with_group_axis(pwk1, groups, 2)
+    a2 = _with_group_axis(affine2, groups, 2)
+    k2 = _with_group_axis(dwk2, groups, 4)
+    p2 = _with_group_axis(pwk2, groups, 2)
+    G = groups
+    C, Cm, Co = p1.shape[2], p1.shape[1], p2.shape[1]
+    d1, d2 = dilation1, dilation2
+    D = d1 + d2
+    R = block_rows
+    dt = x.dtype
+    width = (R + 4 * D) * S
+    ri = R + 2 * d2 + 2
+    aff1 = _perch(a1.reshape(G, 2, C, 1), width, dt)
+    dwt1 = _perch(k1.reshape(G, 9, C)[:, :, :, None], ri * S, dt)
+    aff2 = _perch(a2.reshape(G, 2, Cm, 1), ri * S, dt)
+    dwt2 = _perch(k2.reshape(G, 9, Cm)[:, :, :, None], R * S, dt)
+    return _call(
+        functools.partial(_dwsep2_kernel, S=S, R=R, D=D, d1=d1, d2=d2,
+                          precision=_precision(dt)),
+        x, (aff1, dwt1, p1.astype(dt), aff2, dwt2, p2.astype(dt)),
+        rows_in=C + 1, rows_out=Co + 1, S=S, NR=NR, R=R, d=D,
+        out_dtype=dt, interpret=interpret, groups=groups)
 
 
 def dense_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
                 S: int, NR: int, affine: jnp.ndarray = None,
+                groups: int = 1, block_rows: int = 0,
                 out_dtype=None, interpret: bool = False) -> jnp.ndarray:
     """Dense dilated 3x3 conv on a canvas, optionally preceded by folded
-    BN-affine + ReLU. x: (B, Ci+1, NR*S); kernel: (3, 3, Ci, Co) HWIO.
+    BN-affine + ReLU. x: (B, Ci+1, NR*S); kernel: ([G,] 3, 3, Ci, Co) HWIO.
     Returns (B, Co+1, NR*S)."""
-    _, _, Ci, Co = kernel.shape
-    d, R = dilation, _block_rows(dilation)
+    kernel = _with_group_axis(kernel, groups, 4)
+    G = groups
+    _, _, _, Ci, Co = kernel.shape
+    d = dilation
+    R = block_rows or _block_rows(d)
     dt = x.dtype
     width = (R + 4 * d) * S  # window incl. the 2d-row halo views
-    # (3 dx, Co, 3 dy * Ci), dy-major rows to match the kernel's K-stack.
+    # (G, 3 dx, Co, 3 dy * Ci), dy-major rows to match the kernel's K-stack.
     w = jnp.stack([
-        jnp.concatenate([kernel[dy, dx].T for dy in range(3)], axis=1)
-        for dx in range(3)]).astype(dt)
+        jnp.stack([
+            jnp.concatenate([kernel[g, dy, dx].T for dy in range(3)], axis=1)
+            for dx in range(3)])
+        for g in range(G)]).astype(dt)
     if affine is not None:
-        aff = jnp.broadcast_to(affine.reshape(2, Ci, 1),
-                               (2, Ci, width)).astype(dt)
+        affine = _with_group_axis(affine, groups, 2)
+        aff = _perch(affine.reshape(G, 2, Ci, 1), width, dt)
     else:
-        aff = jnp.zeros((2, 1, 128), dt)  # placeholder, unused
+        aff = jnp.zeros((G, 2, 1, 1), dt)  # placeholder, unused
     return _call(
         functools.partial(_dense_kernel, S=S, R=R, d=d,
                           activate=affine is not None,
                           precision=_precision(dt)),
         x, (aff, w), rows_in=Ci + 1, rows_out=Co + 1, S=S, NR=NR, R=R, d=d,
-        out_dtype=out_dtype or dt, interpret=interpret)
+        out_dtype=out_dtype or dt, interpret=interpret, groups=groups)
