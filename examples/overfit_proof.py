@@ -116,6 +116,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
                        train_batch_size=args.batch,
                        eval_batch_size=args.batch,
                        lr_milestones=tuple(args.milestones), lr_gamma=0.1,
+                       bn_reestimate_batches=args.bn_reestimate,
                        save_path=os.path.join(workdir, f"ckpt_{name}"),
                        log_every=10, **mask_kwargs)
     train_pipe = StereoPipeline(index, args.batch, training=True,
@@ -166,13 +167,16 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--epochs", type=int, default=250)
     p.add_argument("--pairs", type=int, default=64)
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=5e-4)
     # The reference finetune schedule shape: one 0.1 decay at ~2/3 of the
     # run (reference: finetune.py:82-84 decays at epoch 200 of 300).
-    p.add_argument("--milestones", type=int, nargs="*", default=[40])
+    p.add_argument("--milestones", type=int, nargs="*", default=[160])
+    # Precise-BN re-estimation before each eval (TrainConfig docstring):
+    # on this corpus the EMA lags the params enough to dominate eval EPE.
+    p.add_argument("--bn-reestimate", type=int, default=24)
     p.add_argument("--regimes", nargs="*",
                    default=["kitti_mask", "sceneflow_mask"])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
