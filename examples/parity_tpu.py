@@ -32,6 +32,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="PARITY_TPU.json")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="checkpoint directory to load params from (e.g. the "
+                        "overfit-proof run). At RANDOM weights the cost "
+                        "volumes are near-flat and the soft-argmin cascade "
+                        "amplifies benign bf16 rounding differences between "
+                        "any two compilations into multi-pixel deltas — "
+                        "measured ~12%% of span XLA-vs-Pallas AND a similar "
+                        "spread between two XLA-only programs; trained "
+                        "weights give sharp costs and a conditioned "
+                        "comparison.")
     args = p.parse_args()
 
     import jax
@@ -50,6 +60,13 @@ def main() -> None:
     model = LWSNet(cfg)
     state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0),
                                (64, 128))
+    weights = "random-init"
+    if args.ckpt:
+        from lwsnet_tpu.training.checkpoint import CheckpointManager
+        restored, _ = CheckpointManager(args.ckpt).restore(state)
+        assert restored is not None, f"no checkpoint under {args.ckpt}"
+        state = restored
+        weights = args.ckpt
     left = T.normalize(T.bottom_right_crop(
         T.load_image(os.path.join(GOLDEN_DIR, "left_test.png")), 368, 1232))
     right = T.normalize(T.bottom_right_crop(
@@ -84,6 +101,7 @@ def main() -> None:
         "device": jax.devices()[0].device_kind,
         "backend": jax.default_backend(),
         "input": "golden pair, 368x1232 bottom-right crop",
+        "weights": weights,
         "compute_dtype": args.dtype,
         "pallas_mode": cfg.pallas_mode,
         "bar": f"mean |delta| < {bar * 100:g}% of XLA span per stage",
