@@ -111,12 +111,18 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     from lwsnet_tpu.data.pipeline import StereoPipeline
     from lwsnet_tpu.training.loop import Trainer, TrainerConfig
 
-    mcfg = ModelConfig()  # production bf16
+    import dataclasses
+
+    # f32 training matches the reference's own training dtype
+    # (paddle f32, reference train.py) and keeps the saturated-cost
+    # stage-1 path finite; bf16 remains the inference dtype.
+    mcfg = ModelConfig(compute_dtype=args.dtype)
     tcfg = TrainConfig(lr=args.lr, epochs=args.epochs,
                        train_batch_size=args.batch,
                        eval_batch_size=args.batch,
                        lr_milestones=tuple(args.milestones), lr_gamma=0.1,
-                       bn_reestimate_batches=args.bn_reestimate,
+                       bn_mode=args.bn_mode,
+                       bn_reestimate_batches=args.prime,
                        save_path=os.path.join(workdir, f"ckpt_{name}"),
                        log_every=10, **mask_kwargs)
     train_pipe = StereoPipeline(index, args.batch, training=True,
@@ -127,6 +133,16 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
         train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
     trainer.init_state()
+    if args.bn_mode == "frozen":
+        # Prime the (then-frozen) running statistics with forward passes so
+        # they match real activation scales (frozen-at-init saturates the
+        # soft-argmin; see TrainConfig.bn_mode). One explicit priming pass,
+        # then disable per-epoch re-estimation: the stats stay fixed for
+        # the whole run, so the train-step forward IS the eval forward and
+        # there is no train/eval BatchNorm gap by construction.
+        trainer.reestimate_bn(0)
+        trainer.tcfg.train = dataclasses.replace(
+            trainer.tcfg.train, bn_reestimate_batches=0)
 
     epe0 = trainer.evaluate()  # random-init EPE for contrast
     losses, skipped = [], []
@@ -167,16 +183,18 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=250)
-    p.add_argument("--pairs", type=int, default=64)
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=5e-4)
-    # The reference finetune schedule shape: one 0.1 decay at ~2/3 of the
-    # run (reference: finetune.py:82-84 decays at epoch 200 of 300).
-    p.add_argument("--milestones", type=int, nargs="*", default=[160])
-    # Precise-BN re-estimation before each eval (TrainConfig docstring):
-    # on this corpus the EMA lags the params enough to dominate eval EPE.
-    p.add_argument("--bn-reestimate", type=int, default=24)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--pairs", type=int, default=16)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--milestones", type=int, nargs="*", default=[])
+    p.add_argument("--dtype", type=str, default="float32")
+    # bn_mode="frozen" with primed stats: batch-mode BN on a small fixed
+    # corpus co-adapts into chaotically sharp minima (TrainConfig.bn_mode);
+    # frozen mode makes the optimization a plain deterministic CNN fit and
+    # eliminates the train/eval BN gap entirely.
+    p.add_argument("--bn-mode", type=str, default="frozen")
+    p.add_argument("--prime", type=int, default=64)
     p.add_argument("--regimes", nargs="*",
                    default=["kitti_mask", "sceneflow_mask"])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
