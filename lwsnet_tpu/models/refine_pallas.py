@@ -138,8 +138,13 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
     dense + two pair-fused dw-sep kernels + output conv."""
     from lwsnet_tpu.ops.pallas import refine_rows as R
 
+    import os as _os
+    paired = _os.environ.get("LWSNET_ROWS_PAIRED", "1") != "0"
+
     B = left.shape[0]
-    S, NR = R.canvas_geom(H, W, unit=R.PAIR_UNIT)
+    # Unpaired geometry needs NR divisible by 96 too (solo d=16 runs at
+    # R=96: the halo views' 2d-row block unit must divide R and NR).
+    S, NR = R.canvas_geom(H, W, unit=R.PAIR_UNIT if paired else 96)
     Rb = R.PAIR_UNIT
 
     el, al, kl, pl_ = _tower_weights(p["RefinementTower_0"],
@@ -153,6 +158,10 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
         return (jnp.stack([al[i], ad[i]]), jnp.stack([kl[i], kd[i]]),
                 jnp.stack([pl_[i], pd_[i]]))
 
+    # Pair fusion halves canvas HBM round trips but RECOMPUTES layer-1
+    # taps over the intermediate's halo rows (e.g. 82 vs 48 rows for the
+    # (8,16) pair) — on a VPU-bound chain that can cancel the win, so the
+    # unfused-but-batched variant stays selectable for measurement.
     x = jnp.concatenate(
         [left.astype(dtype),
          jnp.pad(disp.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 2)))],
@@ -160,12 +169,18 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
     y = R.to_canvas(x, S, NR, dtype)
     y = R.dense_layer(y, entries, dilation=1, S=S, NR=NR, groups=2,
                       block_rows=Rb, interpret=interpret)
-    for i in (0, 2):  # pairs (2, 4) and (8, 16)
-        y = R.dwsep2_layer(y, *tw(i), *tw(i + 1),
-                           dilation1=TOWER_DILATIONS[i],
-                           dilation2=TOWER_DILATIONS[i + 1],
-                           S=S, NR=NR, groups=2, block_rows=Rb,
-                           interpret=interpret)
+    if paired:
+        for i in (0, 2):  # pairs (2, 4) and (8, 16)
+            y = R.dwsep2_layer(y, *tw(i), *tw(i + 1),
+                               dilation1=TOWER_DILATIONS[i],
+                               dilation2=TOWER_DILATIONS[i + 1],
+                               S=S, NR=NR, groups=2, block_rows=Rb,
+                               interpret=interpret)
+    else:
+        for i, d in enumerate(TOWER_DILATIONS):
+            y = R.dwsep_layer(y, *tw(i), dilation=d, S=S, NR=NR, groups=2,
+                              block_rows=96 if d == 16 else Rb,
+                              interpret=interpret)
 
     F = y.shape[1] - 1
     tl, td = y[:B], y[B:]
@@ -175,12 +190,19 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
         p["RefinementHead_0"], s["RefinementHead_0"], dtype)
     y = R.dense_layer(cat, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
                       affine=aff0, block_rows=Rb, interpret=interpret)
-    for i in (0, 2):  # pairs (8, 4) and (2, 1)
-        y = R.dwsep2_layer(y, affs[i], dwks[i], pwks[i],
-                           affs[i + 1], dwks[i + 1], pwks[i + 1],
-                           dilation1=HEAD_DILATIONS[i],
-                           dilation2=HEAD_DILATIONS[i + 1],
-                           S=S, NR=NR, block_rows=Rb, interpret=interpret)
+    if paired:
+        for i in (0, 2):  # pairs (8, 4) and (2, 1)
+            y = R.dwsep2_layer(y, affs[i], dwks[i], pwks[i],
+                               affs[i + 1], dwks[i + 1], pwks[i + 1],
+                               dilation1=HEAD_DILATIONS[i],
+                               dilation2=HEAD_DILATIONS[i + 1],
+                               S=S, NR=NR, block_rows=Rb,
+                               interpret=interpret)
+    else:
+        for i, d in enumerate(HEAD_DILATIONS):
+            y = R.dwsep_layer(y, affs[i], dwks[i], pwks[i], dilation=d,
+                              S=S, NR=NR, block_rows=Rb,
+                              interpret=interpret)
     y = R.dense_layer(y, out_k.astype(dtype), dilation=1, S=S, NR=NR,
                       out_dtype=jnp.float32, block_rows=Rb,
                       interpret=interpret)
