@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import math
 import os
 import sys
 import time
@@ -111,53 +112,70 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     from lwsnet_tpu.data.pipeline import StereoPipeline
     from lwsnet_tpu.training.loop import Trainer, TrainerConfig
 
-    import dataclasses
-
-    # f32 training matches the reference's own training dtype
-    # (paddle f32, reference train.py) and keeps the saturated-cost
-    # stage-1 path finite; bf16 remains the inference dtype.
+    # Two-phase recipe, each phase reference-faithful per step:
+    #
+    #   Phase A — batch-mode BN at lr (reference train semantics): every
+    #     stage's statistics stay healthy and all four stages descend.
+    #     (Frozen-from-scratch runs saturate stages 1-2's soft-argmin;
+    #     their noise-level gradients then make Adam random-walk those
+    #     stages until they diverge — observed stage-1 EPE 23 -> 87.)
+    #   Phase B — freeze the (current, healthy) running statistics and
+    #     decay lr 10x: the optimization becomes a plain deterministic CNN
+    #     fit with NO train/eval BatchNorm gap (the train forward IS the
+    #     eval forward), locking in a monotone tail. Batch-mode on a small
+    #     fixed corpus cannot do this: the network co-adapts to its own
+    #     batch statistics into chaotically sharp minima where the in-step
+    #     loss reads ~2 px but any reevaluation lands at ~20 px
+    #     (TrainConfig.bn_mode docstring).
     mcfg = ModelConfig(compute_dtype=args.dtype)
-    tcfg = TrainConfig(lr=args.lr, epochs=args.epochs,
-                       train_batch_size=args.batch,
-                       eval_batch_size=args.batch,
-                       lr_milestones=tuple(args.milestones), lr_gamma=0.1,
-                       bn_mode=args.bn_mode,
-                       bn_reestimate_batches=args.prime,
-                       save_path=os.path.join(workdir, f"ckpt_{name}"),
-                       log_every=10, **mask_kwargs)
-    train_pipe = StereoPipeline(index, args.batch, training=True,
-                                crop=(H, W), kitti=True, num_workers=4)
-    eval_pipe = StereoPipeline(index, args.batch, training=False,
-                               crop=(H, W), kitti=True, num_workers=4)
-    trainer = Trainer(
-        TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
-        train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
+
+    def make_trainer(bn_mode, lr, epochs):
+        tcfg = TrainConfig(lr=lr, epochs=epochs,
+                           train_batch_size=args.batch,
+                           eval_batch_size=args.batch,
+                           bn_mode=bn_mode,
+                           save_path=os.path.join(workdir, f"ckpt_{name}"),
+                           log_every=10, **mask_kwargs)
+        train_pipe = StereoPipeline(index, args.batch, training=True,
+                                    crop=(H, W), kitti=True, num_workers=4)
+        eval_pipe = StereoPipeline(index, args.batch, training=False,
+                                   crop=(H, W), kitti=True, num_workers=4)
+        return Trainer(
+            TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+            train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
+
+    trainer = make_trainer("batch", args.lr, args.epochs)
     trainer.init_state()
-    if args.bn_mode == "frozen":
-        # Prime the (then-frozen) running statistics with forward passes so
-        # they match real activation scales (frozen-at-init saturates the
-        # soft-argmin; see TrainConfig.bn_mode). One explicit priming pass,
-        # then disable per-epoch re-estimation: the stats stay fixed for
-        # the whole run, so the train-step forward IS the eval forward and
-        # there is no train/eval BatchNorm gap by construction.
-        trainer.reestimate_bn(0)
-        trainer.tcfg.train = dataclasses.replace(
-            trainer.tcfg.train, bn_reestimate_batches=0)
 
     epe0 = trainer.evaluate()  # random-init EPE for contrast
     losses, skipped = [], []
-    orig = trainer.train_step
 
-    def spy(state, l, r, g):
-        state, aux = orig(state, l, r, g)
-        losses.append(float(aux["loss"]))
-        if float(aux.get("finite", 1.0)) == 0.0:
-            skipped.append(len(losses) - 1)
-        return state, aux
+    def spy_on(t):
+        orig = t.train_step
 
-    trainer.train_step = spy
+        def spy(state, l, r, g):
+            state, aux = orig(state, l, r, g)
+            losses.append(float(aux["loss"]))
+            if float(aux.get("finite", 1.0)) == 0.0:
+                skipped.append(len(losses) - 1)
+            return state, aux
+
+        t.train_step = spy
+
+    spy_on(trainer)
     t0 = time.time()
-    final_epe = trainer.fit(args.epochs)
+    trainer.fit(args.epochs)
+    phase_a_best = trainer.best_error
+
+    trainer_b = make_trainer("frozen", args.lr * 0.1, args.tail_epochs)
+    trainer_b.init_state()
+    # Phase B resumes from phase A's BEST checkpoint (params + the healthy
+    # batch-mode running statistics, now frozen).
+    assert trainer_b.resume(), "phase A saved no checkpoint"
+    trainer_b.start_epoch = 0
+    trainer_b.best_error = math.inf  # re-qualify the best under frozen eval
+    spy_on(trainer_b)
+    final_epe = trainer_b.fit(args.tail_epochs)
     wall = time.time() - t0
 
     def num(x):
@@ -169,6 +187,8 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     return {
         "mask_regime": name,
         "epochs": args.epochs,
+        "tail_epochs": args.tail_epochs,
+        "phase_a_best_epe_px": num(phase_a_best),
         "steps": len(losses),
         "nonfinite_steps_skipped": skipped,
         "initial_epe_px": num(epe0),
@@ -183,18 +203,12 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--epochs", type=int, default=140)
+    p.add_argument("--tail-epochs", type=int, default=50)
     p.add_argument("--pairs", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--milestones", type=int, nargs="*", default=[])
     p.add_argument("--dtype", type=str, default="float32")
-    # bn_mode="frozen" with primed stats: batch-mode BN on a small fixed
-    # corpus co-adapts into chaotically sharp minima (TrainConfig.bn_mode);
-    # frozen mode makes the optimization a plain deterministic CNN fit and
-    # eliminates the train/eval BN gap entirely.
-    p.add_argument("--bn-mode", type=str, default="frozen")
-    p.add_argument("--prime", type=int, default=64)
     p.add_argument("--regimes", nargs="*",
                    default=["kitti_mask", "sceneflow_mask"])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
@@ -244,8 +258,10 @@ def main() -> None:
         "device": jax.devices()[0].device_kind,
         "pairs": args.pairs,
         "batch": args.batch,
-        "lr": args.lr,
-        "lr_milestones": list(args.milestones),
+        "recipe": (f"phase A: batch-mode BN, lr {args.lr:g}, "
+                   f"{args.epochs} epochs; phase B: frozen BN from the "
+                   f"phase-A best checkpoint, lr {args.lr * 0.1:g}, "
+                   f"{args.tail_epochs} epochs (see run_regime docstring)"),
         "runs": runs,
     }
     with open(args.out, "w") as f:
