@@ -176,6 +176,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     trainer_b.best_error = math.inf  # re-qualify the best under frozen eval
     spy_on(trainer_b)
     final_epe = trainer_b.fit(args.tail_epochs)
+    phase_b_best = trainer_b.best_error
     wall = time.time() - t0
 
     def num(x):
@@ -193,7 +194,10 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         "nonfinite_steps_skipped": skipped,
         "initial_epe_px": num(epe0),
         "final_epe_px": num(final_epe),
-        "best_epe_px": num(trainer.best_error),
+        # The drift check compares final vs the PHASE-B best: both are
+        # frozen-BN evals of the same tail, so "final ~= best" measures
+        # late-training drift, not the phase-A/B train-eval gap.
+        "best_epe_px": num(phase_b_best),
         "first_loss": num(losses[0]),
         "last_loss": num(losses[-1]),
         "loss_curve_every_20": [num(x) for x in losses[::20]],
@@ -203,9 +207,9 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=140)
-    p.add_argument("--tail-epochs", type=int, default=50)
-    p.add_argument("--pairs", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--tail-epochs", type=int, default=25)
+    p.add_argument("--pairs", type=int, default=64)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--dtype", type=str, default="float32")
@@ -251,8 +255,14 @@ def main() -> None:
         "kitti_mask": dict(mask_min_disp=0.0),
         "sceneflow_mask": dict(mask_max_disp=192.0),
     }
-    runs = [run_regime(name, index, args, regimes[name], args.workdir)
-            for name in args.regimes]
+    runs = []
+    for name in args.regimes:
+        runs.append(run_regime(name, index, args, regimes[name],
+                               args.workdir))
+        # Persist after every regime: a crash in regime 2 (the TPU worker
+        # can die on long sessions) must not lose regime 1's evidence.
+        with open(args.out + ".partial", "w") as f:
+            json.dump(runs, f, indent=1, allow_nan=False)
 
     result = {
         "device": jax.devices()[0].device_kind,

@@ -26,6 +26,17 @@ def add_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_stages", type=int, default=4, choices=[1, 2, 3, 4])
 
 
+def add_data_flags(p: argparse.ArgumentParser, eval_height: int,
+                   eval_width: int) -> None:
+    """Crop/eval-window geometry (DataConfig defaults; the eval window is
+    dataset-specific: 368x1232 KITTI, 544x960 SceneFlow — reference:
+    dataloader/dataloader.py:77-92)."""
+    p.add_argument("--crop_height", type=int, default=256)
+    p.add_argument("--crop_width", type=int, default=512)
+    p.add_argument("--eval_height", type=int, default=eval_height)
+    p.add_argument("--eval_width", type=int, default=eval_width)
+
+
 def add_train_flags(p: argparse.ArgumentParser, epochs: int,
                     batch: int, save_path: str) -> None:
     p.add_argument("--lr", type=float, default=5e-4)

@@ -22,6 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation split file; empty = builtin 40-frame split")
     p.add_argument("--evaluate", action="store_true")
     common.add_model_flags(p)
+    common.add_data_flags(p, eval_height=368, eval_width=1232)
     common.add_train_flags(p, epochs=300, batch=4,
                            save_path="results/finetune")
     return p
@@ -55,11 +56,13 @@ def main(argv=None) -> float:
 
     pi, pc = jax.process_index(), jax.process_count()
     train_pipe = StereoPipeline(
-        train_idx, args.train_batch_size, training=True, crop=(256, 512),
+        train_idx, args.train_batch_size, training=True,
+        crop=(args.crop_height, args.crop_width),
         kitti=True, seed=args.seed, num_workers=args.num_workers,
         process_index=pi, process_count=pc)
     eval_pipe = StereoPipeline(
-        val_idx, args.test_batch_size, training=False, crop=(368, 1232),
+        val_idx, args.test_batch_size, training=False,
+        crop=(args.eval_height, args.eval_width),
         kitti=True, process_index=pi, process_count=pc)
 
     trainer = Trainer(

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint directory")
     p.add_argument("--save_path", type=str, default="results/inference")
     p.add_argument("--random_weights", action="store_true")
+    p.add_argument("--eval_height", type=int, default=368,
+                   help="inference window (bottom-right crop, reference: "
+                        "inference.py:93-100)")
+    p.add_argument("--eval_width", type=int, default=1232)
     common.add_model_flags(p)
     return p
 
@@ -63,7 +67,9 @@ def main(argv=None) -> None:
             raise SystemExit(f"no checkpoint found in {args.model}")
         log.info("loaded checkpoint from %s", args.model)
 
-    engine = InferenceEngine(model_cfg, state.variables)
+    engine = InferenceEngine(model_cfg, state.variables,
+                             eval_height=args.eval_height,
+                             eval_width=args.eval_width)
 
     if args.left_img:
         # single-pair: sibling right_test.png, outputs <stage>.png next to it

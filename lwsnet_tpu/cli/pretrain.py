@@ -20,6 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reproduce the reference's duplicated 15mm driving "
                         "split (reference: dataloader/sceneflow.py:105)")
     common.add_model_flags(p)
+    common.add_data_flags(p, eval_height=544, eval_width=960)
     common.add_train_flags(p, epochs=10, batch=8,
                            save_path="results/pretrained")
     return p
@@ -52,11 +53,13 @@ def main(argv=None) -> float:
 
     pi, pc = jax.process_index(), jax.process_count()
     train_pipe = StereoPipeline(
-        train_idx, args.train_batch_size, training=True, crop=(256, 512),
+        train_idx, args.train_batch_size, training=True,
+        crop=(args.crop_height, args.crop_width),
         kitti=False, seed=args.seed, num_workers=args.num_workers,
         process_index=pi, process_count=pc)
     eval_pipe = StereoPipeline(
-        test_idx, args.test_batch_size, training=False, crop=(544, 960),
+        test_idx, args.test_batch_size, training=False,
+        crop=(args.eval_height, args.eval_width),
         kitti=False, process_index=pi, process_count=pc)
 
     trainer = Trainer(

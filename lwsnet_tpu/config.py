@@ -44,6 +44,14 @@ class ModelConfig:
     # 8.1 ms "layers" at 368x1232 on v5e). "layers" = planar per-layer
     # kernels (~270 s cold compile; every op unrolls over C).
     pallas_mode: str = "rows"
+    # "rows" mode layer fusion: True runs consecutive dw-sep layers pairwise
+    # in one kernel (intermediate canvas never leaves VMEM, halving HBM
+    # round trips at the cost of recomputing layer-1 taps over the halo
+    # rows); False keeps one kernel per layer. Measured A/B lives in
+    # STAGE4_ANALYSIS.md. The env var LWSNET_ROWS_PAIRED=0/1 overrides this
+    # at TRACE time (for A/B scripts only — a jit-cached forward ignores
+    # later env changes; set the config field in library code).
+    rows_paired: bool = True
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept
@@ -117,10 +125,10 @@ class TrainConfig:
     #              batch-mode BN lets the network co-adapt to its own batch
     #              statistics, producing razor-thin chaotic minima where the
     #              in-step loss reads ~2 px while any reevaluation of the
-    #              same params lands at ~20 px (diagnosed r4 via
-    #              examples/diag_bisect*.py: different XLA fusions of the
-    #              identical forward disagree 10x at such states, and one
-    #              lr=1e-4 Adam step moves the loss 1.9 -> 24).
+    #              same params lands at ~20 px (diagnosed r4 by bisecting
+    #              across independently-compiled programs: different XLA
+    #              fusions of the identical forward disagree 10x at such
+    #              states, and one lr=1e-4 Adam step moves loss 1.9 -> 24).
     bn_mode: str = "batch"
     # "Precise BN": before each validation pass, refresh the BN running
     # statistics with this many forward-only passes over training batches

@@ -112,7 +112,8 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
             with jax.named_scope("stage4_refinement"):
                 res = refine_pallas.refine_residual(
                     variables, left, preds[-1], dtype=dtype,
-                    interpret=interp, mode=cfg.pallas_mode)
+                    interpret=interp, mode=cfg.pallas_mode,
+                    paired=cfg.rows_paired)
                 preds.append(preds[-1] + res)
         return [x.astype(jnp.float32) for x in preds]
 

@@ -126,7 +126,7 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                          h_real=h, w_real=w, interpret=interpret)
 
 
-def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
+def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
     """Row-canvas refinement (ops/pallas/refine_rows): the default
     inference mode — seconds-class cold compile, fastest measured.
 
@@ -137,9 +137,6 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
     exact (zero input channels contribute nothing) — and the head runs as
     dense + two pair-fused dw-sep kernels + output conv."""
     from lwsnet_tpu.ops.pallas import refine_rows as R
-
-    import os as _os
-    paired = _os.environ.get("LWSNET_ROWS_PAIRED", "1") != "0"
 
     B = left.shape[0]
     # Unpaired geometry needs NR divisible by 96 too (solo d=16 runs at
@@ -211,7 +208,7 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret):
 
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                     *, dtype=jnp.bfloat16, interpret: bool = False,
-                    mode: str = "rows") -> jnp.ndarray:
+                    mode: str = "rows", paired: bool = True) -> jnp.ndarray:
     """The stage-4 refinement residual via the fused Pallas kernels.
 
     Equals RefinementTower(left) ++ RefinementTower(disp) -> RefinementHead
@@ -235,14 +232,22 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
       variables: the full LWSNet {"params", "batch_stats"} tree.
       left: (B, H, W, 3) normalized image, NHWC.
       disp: (B, H, W, 1) stage-3 full-res disparity.
+      paired: "rows" layer fusion (ModelConfig.rows_paired). The env var
+        LWSNET_ROWS_PAIRED=0/1 overrides it — read HERE, at trace time, so
+        a jit-cached forward ignores later env flips; it exists for A/B
+        measurement scripts only.
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
     assert mode in ("rows", "layers"), mode
+    import os as _os
+    env = _os.environ.get("LWSNET_ROWS_PAIRED")
+    if env is not None:
+        paired = env != "0"
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
     if mode == "rows":
-        return _rows_mode(p, s, left, disp, H, W, dtype, interpret)
+        return _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired)
     xl = jnp.transpose(left.astype(dtype), (0, 3, 1, 2))
     xd = jnp.transpose(disp.astype(dtype), (0, 3, 1, 2))
     tw_l = _tower_weights(p["RefinementTower_0"], s["RefinementTower_0"],

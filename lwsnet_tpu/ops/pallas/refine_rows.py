@@ -58,7 +58,9 @@ PAIR_UNIT = 48
 # (.., C, width) operands in HBM — tens of MB per layer, which both costs
 # bandwidth and overflows VMEM for the pair-fused kernels. Env override
 # LWSNET_ROWS_COMPACT=0 restores the fallback if a Mosaic regression ever
-# rejects the compact form.
+# rejects the compact form. NOTE: read ONCE at import — flipping the env
+# var after this module is imported (or against a jit-cached forward) has
+# no effect; it is a process-level escape hatch, not a runtime knob.
 import os as _os
 
 COMPACT_WEIGHTS = _os.environ.get("LWSNET_ROWS_COMPACT", "1") != "0"
