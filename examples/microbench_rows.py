@@ -73,6 +73,36 @@ def main() -> None:
                                    out_dtype=jnp.float32), x)
     print(f"dense 32->1 d1:    {ms:7.3f} ms")
 
+    # head entry as concat+dense (two HBM round trips of the 65-row canvas)
+    # vs the fused two-input dense2 (reads the grouped tower canvas as-is)
+    ms = t(lambda a: R.dense_layer(
+        jnp.concatenate([a[:1, :C], a[1:, :C], a[:1, C:]], axis=1),
+        hk, dilation=8, S=S, NR=NR, affine=aff64), x2)
+    print(f"concat+dense 64->32 d8: {ms:7.3f} ms")
+    ms = t(lambda a: R.dense2_layer(a, hk, dilation=8, S=S, NR=NR,
+                                    affine=aff64, block_rows=48), x2)
+    print(f"dense2 64->32 d8:  {ms:7.3f} ms")
+
+    # paired vs unpaired dw-sep pipelines, tower pairs at B=2
+    # (the r4 A/B ask: does pair fusion's halo recompute cancel its
+    #  HBM savings?). Each pipeline runs on its own canvas geometry, as in
+    # refine_pallas._rows_mode: paired unit=48 (NR=432 at 368 rows),
+    # unpaired unit=96 (NR=480 — solo d=16 blocks are 96 rows).
+    S48, NR48 = R.canvas_geom(H, W, unit=R.PAIR_UNIT)
+    xp = jnp.asarray(rng.standard_normal((2, C + 1, NR48 * S48)), dt)
+    S96, NR96 = R.canvas_geom(H, W, unit=96)
+    xs = jnp.asarray(rng.standard_normal((2, C + 1, NR96 * S96)), dt)
+    for d1, d2 in ((2, 4), (8, 16)):
+        ms = t(lambda a: R.dwsep2_layer(a, aff, dwk, pwk, aff, dwk, pwk,
+                                        dilation1=d1, dilation2=d2,
+                                        S=S48, NR=NR48, block_rows=48), xp)
+        print(f"dwsep2 ({d1:2d},{d2:2d}) B=2: {ms:7.3f} ms")
+        ms = t(lambda a: R.dwsep_layer(
+            R.dwsep_layer(a, aff, dwk, pwk, dilation=d1, S=S96, NR=NR96),
+            aff, dwk, pwk, dilation=d2, S=S96, NR=NR96,
+            block_rows=96 if d2 == 16 else 0), xs)
+        print(f"solo+solo ({d1:2d},{d2:2d}) B=2: {ms:7.3f} ms")
+
     # canvas transposes
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
     ms = t(lambda a: R.to_canvas(a, S, NR, dt), img)
@@ -127,9 +157,10 @@ def main() -> None:
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), left, right, train=False)
     disp = jnp.asarray(rng.uniform(0, 100, (1, H, W, 1)), jnp.float32)
-    ms = t(lambda l: refine_residual(variables, l, disp, mode="rows"),
-           left, iters=20)
-    print(f"refine_residual rows: {ms:7.3f} ms")
+    for paired in (True, False):
+        ms = t(lambda l, p=paired: refine_residual(
+            variables, l, disp, mode="rows", paired=p), left, iters=20)
+        print(f"refine_residual rows paired={int(paired)}: {ms:7.3f} ms")
 
 
 if __name__ == "__main__":

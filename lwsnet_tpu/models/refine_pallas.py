@@ -179,14 +179,14 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
                               block_rows=96 if d == 16 else Rb,
                               interpret=interpret)
 
-    F = y.shape[1] - 1
-    tl, td = y[:B], y[B:]
-    cat = jnp.concatenate([tl[:, :F], td[:, :F], tl[:, F:]], axis=1)
-
     aff0, dense, affs, dwks, pwks, out_k = _head_weights(
         p["RefinementHead_0"], s["RefinementHead_0"], dtype)
-    y = R.dense_layer(cat, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
-                      affine=aff0, block_rows=Rb, interpret=interpret)
+    # The head's 64-channel entry consumes concat(left tower, disp tower);
+    # dense2_layer computes conv_l(tl) + conv_d(td) straight off the
+    # grouped tower canvas — exact, and skips materializing the 65-row
+    # concat canvas (a full HBM round trip, ~145 MB/frame at 368x1232).
+    y = R.dense2_layer(y, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
+                       affine=aff0, block_rows=Rb, interpret=interpret)
     if paired:
         for i in (0, 2):  # pairs (8, 4) and (2, 1)
             y = R.dwsep2_layer(y, affs[i], dwks[i], pwks[i],

@@ -255,6 +255,100 @@ def _dense_kernel(p_ref, c_ref, n_ref, aff_ref, w_ref, o_ref, *,
     o_ref[0, Co:] = mask.astype(o_ref.dtype)
 
 
+def _dense2_kernel(pa_ref, ca_ref, na_ref, pb_ref, cb_ref, nb_ref,
+                   affa_ref, wa_ref, affb_ref, wb_ref, o_ref, *,
+                   S, R, d, precision):
+    """Dense conv over the concatenation of two canvases WITHOUT the
+    concat: conv(concat(a, b)) = conv_a(a) + conv_b(b), accumulated in one
+    f32 register tile. Each half gets its own BN-affine + ReLU."""
+    acc = None
+    Co = wa_ref.shape[2]
+    for p_ref, c_ref, n_ref, a_ref, w_ref in (
+            (pa_ref, ca_ref, na_ref, affa_ref, wa_ref),
+            (pb_ref, cb_ref, nb_ref, affb_ref, wb_ref)):
+        aff, w = a_ref[0], w_ref[0]
+        Ci = w.shape[2] // 3
+        RS = R * S
+        data = _activate(_window(p_ref, c_ref, n_ref), aff, Ci)
+        for t, dx in enumerate((-1, 0, 1)):
+            sl = jnp.concatenate(
+                [data[:, 2 * d * S + dy * d * S + dx * d:
+                      2 * d * S + dy * d * S + dx * d + RS]
+                 for dy in (-1, 0, 1)], axis=0)
+            term = jax.lax.dot_general(
+                w[t], sl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            acc = term if acc is None else acc + term
+    mask = ca_ref[0, ca_ref.shape[1] - 1:]
+    o_ref[0, 0:Co] = (acc * mask).astype(o_ref.dtype)
+    o_ref[0, Co:] = mask.astype(o_ref.dtype)
+
+
+def dense2_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
+                 S: int, NR: int, affine: jnp.ndarray,
+                 block_rows: int = 0, out_dtype=None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Dense dilated 3x3 conv over the channel-concatenation of the two
+    halves of a grouped canvas, without materializing the concat (a full
+    extra canvas round trip through HBM — ~145 MB/frame at 368x1232).
+
+    x: (2B, Ci+1, NR*S) — halves A = x[:B], B = x[B:], each with its own
+    mask row; kernel: (3, 3, 2*Ci, Co) HWIO over the concatenated channels;
+    affine: (2, 2*Ci) folded BN (pre-activation, split per half).
+    Returns (B, Co+1, NR*S): conv(concat) = conv_A(A) + conv_B(B), exact.
+    """
+    B2 = x.shape[0]
+    assert B2 % 2 == 0, B2
+    B = B2 // 2
+    Ci2, Co = kernel.shape[2], kernel.shape[3]
+    Ci = Ci2 // 2
+    assert x.shape[1] == Ci + 1, (x.shape, Ci)
+    d = dilation
+    R = block_rows or _block_rows(d)
+    dt = x.dtype
+    width = (R + 4 * d) * S
+
+    def wstack(k):  # (3 dx, Co, 3 dy * Ci), dy-major (see dense_layer)
+        return jnp.stack([
+            jnp.concatenate([k[dy, dx].T for dy in range(3)], axis=1)
+            for dx in range(3)])[None].astype(dt)
+
+    wa = wstack(kernel[:, :, :Ci])
+    wb = wstack(kernel[:, :, Ci:])
+    affa = _perch(affine[:, :Ci].reshape(1, 2, Ci, 1), width, dt)
+    affb = _perch(affine[:, Ci:].reshape(1, 2, Ci, 1), width, dt)
+
+    def views(boff):
+        """prev/cur/next views of half `boff` (A: rows [0,B), B: [B,2B))."""
+        base = _views(Ci + 1, S, NR, R, d)
+        return [pl.BlockSpec(
+            bs.block_shape,
+            functools.partial(
+                lambda im, off, b, c: (b + off,) + tuple(im(b, c))[1:],
+                bs.index_map, boff),
+            memory_space=pltpu.VMEM) for bs in base]
+
+    def const_spec(c):
+        return pl.BlockSpec((1,) + c.shape[1:],
+                            lambda b, r: (0,) * c.ndim,
+                            memory_space=pltpu.VMEM)
+
+    consts = (affa, wa, affb, wb)
+    return pl.pallas_call(
+        functools.partial(_dense2_kernel, S=S, R=R, d=d,
+                          precision=_precision(dt)),
+        grid=(B, NR // R),
+        in_specs=views(0) + views(B) + [const_spec(c) for c in consts],
+        out_specs=pl.BlockSpec((1, Co + 1, R * S), lambda b, c: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co + 1, NR * S),
+                                       out_dtype or dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, x, x, x, x, *consts)
+
+
 def _call(kernel, x, consts, *, rows_in, rows_out, S, NR, R, d, out_dtype,
           interpret, groups=1):
     """Launch a row-canvas kernel. Every const carries a leading G axis
