@@ -102,6 +102,12 @@ def main() -> None:
             aff, dwk, pwk, dilation=d2, S=S96, NR=NR96,
             block_rows=96 if d2 == 16 else 0), xs)
         print(f"solo+solo ({d1:2d},{d2:2d}) B=2: {ms:7.3f} ms")
+        # taller pair blocks: halo recompute amortizes over 96 output rows
+        # (e.g. (8,16): intermediate 130/96 = 1.35x vs 82/48 = 1.71x)
+        ms = t(lambda a: R.dwsep2_layer(a, aff, dwk, pwk, aff, dwk, pwk,
+                                        dilation1=d1, dilation2=d2,
+                                        S=S96, NR=NR96, block_rows=96), xs)
+        print(f"dwsep2 ({d1:2d},{d2:2d}) R=96 B=2: {ms:7.3f} ms")
 
     # canvas transposes
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)

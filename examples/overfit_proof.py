@@ -114,31 +114,47 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
     # Two-phase recipe, each phase reference-faithful per step:
     #
-    #   Phase A — batch-mode BN at lr (reference train semantics): every
-    #     stage's statistics stay healthy and all four stages descend.
-    #     (Frozen-from-scratch runs saturate stages 1-2's soft-argmin;
-    #     their noise-level gradients then make Adam random-walk those
-    #     stages until they diverge — observed stage-1 EPE 23 -> 87.)
-    #   Phase B — freeze the (current, healthy) running statistics and
-    #     decay lr 10x: the optimization becomes a plain deterministic CNN
-    #     fit with NO train/eval BatchNorm gap (the train forward IS the
-    #     eval forward), locking in a monotone tail. Batch-mode on a small
+    #   Phase A — batch-mode BN at lr (reference train semantics) WITH
+    #     precise-BN before every eval (TrainConfig.bn_reestimate_batches):
+    #     every stage's statistics stay healthy and all four stages
+    #     descend. (Frozen-from-scratch runs saturate stages 1-2's
+    #     soft-argmin; their noise-level gradients then make Adam
+    #     random-walk those stages until they diverge — observed stage-1
+    #     EPE 23 -> 87.) The precise-BN pass is what makes the best-
+    #     checkpoint SELECTION meaningful: without it the saved "best" is a
+    #     razor-sharp batch-co-adapted state whose stale running stats read
+    #     2 px under phase A's eval but 15 px under phase B's frozen train
+    #     forward on the SAME parameters (observed r5; cross-program TPU
+    #     divergence at a calibrated state is ~0.01 px, so the gap is the
+    #     stats, not the numerics).
+    #   Phase B — freeze the (now-calibrated) running statistics and decay
+    #     lr 10x: the optimization becomes a plain deterministic CNN fit
+    #     with NO train/eval BatchNorm gap (the train forward IS the eval
+    #     forward), locking in a monotone tail. Batch-mode on a small
     #     fixed corpus cannot do this: the network co-adapts to its own
     #     batch statistics into chaotically sharp minima where the in-step
     #     loss reads ~2 px but any reevaluation lands at ~20 px
     #     (TrainConfig.bn_mode docstring).
     mcfg = ModelConfig(compute_dtype=args.dtype)
 
+    # Eval batches are 4x the train batch: identical math (the metric sums
+    # are validity-weighted), 4x fewer dispatches through the TPU tunnel —
+    # which is what the wall-clock of this run is made of.
+    eval_batch = min(4 * args.batch, args.pairs)
+
     def make_trainer(bn_mode, lr, epochs):
         tcfg = TrainConfig(lr=lr, epochs=epochs,
                            train_batch_size=args.batch,
-                           eval_batch_size=args.batch,
+                           eval_batch_size=eval_batch,
                            bn_mode=bn_mode,
+                           bn_reestimate_batches=(
+                               0 if bn_mode == "frozen"
+                               else args.pairs // args.batch),
                            save_path=os.path.join(workdir, f"ckpt_{name}"),
                            log_every=10, **mask_kwargs)
         train_pipe = StereoPipeline(index, args.batch, training=True,
                                     crop=(H, W), kitti=True, num_workers=4)
-        eval_pipe = StereoPipeline(index, args.batch, training=False,
+        eval_pipe = StereoPipeline(index, eval_batch, training=False,
                                    crop=(H, W), kitti=True, num_workers=4)
         return Trainer(
             TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
@@ -224,6 +240,14 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
+    if args.dtype == "float32":
+        # True-f32 MXU accumulation (TPU f32 convs otherwise run single-pass
+        # BF16). Measured r5: at a converged-tail state this shifts stage-3
+        # EPE only ~0.01 px — the knob is NOT what makes or breaks the run —
+        # but a trainability proof should not quietly compute in bf16 while
+        # reporting "float32". Throughput is irrelevant here (the run is
+        # dispatch-bound through the TPU tunnel).
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from lwsnet_tpu.data import transforms as T
     from lwsnet_tpu.data.kitti2015 import StereoIndex
