@@ -9,13 +9,15 @@ train step -> eval -> best checkpoint) under BOTH loss-mask regimes
 A monotone loss + sub-pixel final EPE proves the whole training stack
 (model, loss, Adam, BN, data path) optimizes end to end on TPU.
 
-Set-size note: 64 pairs, not 4 — with a repeated tiny batch, batch-mode
-BatchNorm co-adapts to its own batch statistics and the optimization turns
-chaotically sharp (see TrainConfig.bn_mode); 16 batches of distinct images
-keep the batch statistics honest, which is also the reference's own regime
-(random crops over a large corpus).
+Batch-size note: 64 pairs trained at batch 16 (a quarter corpus per step) —
+with small batches, batch-mode BatchNorm lets the network co-adapt to the
+per-batch statistics themselves (measured: sub-pixel in-step loss at batch
+4 coexisting with 9 px corpus-calibrated EPE; see TrainConfig.bn_mode and
+the --batch help). Large batches make batch statistics ~= corpus
+statistics every step, which is also the reference's own regime (its
+per-batch statistics estimate the corpus because the corpus is huge).
 
-    python examples/overfit_proof.py [--epochs 60] [--out OVERFIT_PROOF.json]
+    python examples/overfit_proof.py [--epochs 80] [--out OVERFIT_PROOF.json]
 """
 
 from __future__ import annotations
@@ -137,10 +139,10 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     #     (TrainConfig.bn_mode docstring).
     mcfg = ModelConfig(compute_dtype=args.dtype)
 
-    # Eval batches are 4x the train batch: identical math (the metric sums
-    # are validity-weighted), 4x fewer dispatches through the TPU tunnel —
-    # which is what the wall-clock of this run is made of.
-    eval_batch = min(4 * args.batch, args.pairs)
+    # Eval batches cover the corpus in as few dispatches as possible:
+    # identical math (the metric sums are validity-weighted), and tunnel
+    # dispatches are what the wall-clock of this run is made of.
+    eval_batch = min(2 * args.batch, args.pairs)
 
     def make_trainer(bn_mode, lr, epochs):
         tcfg = TrainConfig(lr=lr, epochs=epochs,
@@ -223,12 +225,31 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=60)
-    p.add_argument("--tail-epochs", type=int, default=25)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--tail-epochs", type=int, default=40)
     p.add_argument("--pairs", type=int, default=64)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--dtype", type=str, default="float32")
+    # Batch 16 = a quarter of the corpus PER STEP. This is the load-bearing
+    # choice: with small batches (4), batch-mode BN lets the network
+    # co-adapt to the PER-BATCH statistics themselves — measured r5:
+    # in-step stage-3 loss 0.58 px while the same params under
+    # corpus-calibrated statistics read 9 px EPE, and no frozen tail can
+    # dig out of that. Large batches make batch statistics track corpus
+    # statistics, so the thing being optimized is the thing being
+    # evaluated. (16, not 32: the f32 backward materializes
+    # (B, 256, 512, 32) refinement-tower activations — batch 32 OOMs the
+    # 16 GB HBM.)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1.5e-3)
+    # bfloat16 = the production compute dtype (params/BN stats stay f32);
+    # also the memory envelope: the f32 backward at batch 16 OOMs the
+    # 16 GB HBM on the full-res refinement activations.
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--matmul-precision", type=str, default="default",
+                   choices=["default", "highest"],
+                   help="TPU f32 convs use single-pass BF16 MXU math by "
+                        "default; 'highest' forces true-f32 accumulation "
+                        "(~6x device FLOPs; measured effect on a converged "
+                        "state: ~0.01 px)")
     p.add_argument("--regimes", nargs="*",
                    default=["kitti_mask", "sceneflow_mask"])
     p.add_argument("--out", type=str, default="OVERFIT_PROOF.json")
@@ -240,13 +261,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
-    if args.dtype == "float32":
-        # True-f32 MXU accumulation (TPU f32 convs otherwise run single-pass
-        # BF16). Measured r5: at a converged-tail state this shifts stage-3
-        # EPE only ~0.01 px — the knob is NOT what makes or breaks the run —
-        # but a trainability proof should not quietly compute in bf16 while
-        # reporting "float32". Throughput is irrelevant here (the run is
-        # dispatch-bound through the TPU tunnel).
+    if args.matmul_precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
 
     from lwsnet_tpu.data import transforms as T
