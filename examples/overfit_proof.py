@@ -129,40 +129,48 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     #     forward on the SAME parameters (observed r5; cross-program TPU
     #     divergence at a calibrated state is ~0.01 px, so the gap is the
     #     stats, not the numerics).
-    #   Phase B — freeze the (now-calibrated) running statistics and decay
-    #     lr 10x: the optimization becomes a plain deterministic CNN fit
-    #     with NO train/eval BatchNorm gap (the train forward IS the eval
-    #     forward), locking in a monotone tail. Batch-mode on a small
-    #     fixed corpus cannot do this: the network co-adapts to its own
-    #     batch statistics into chaotically sharp minima where the in-step
-    #     loss reads ~2 px but any reevaluation lands at ~20 px
-    #     (TrainConfig.bn_mode docstring).
-    mcfg = ModelConfig(compute_dtype=args.dtype)
+    #   Phase B — freeze the (now-calibrated) running statistics, decay lr,
+    #     and switch to FLOAT32 compute: the optimization becomes a plain
+    #     deterministic CNN fit with NO train/eval BatchNorm gap (the train
+    #     forward IS the eval forward), locking in a monotone tail. The
+    #     dtype switch is load-bearing: at half-converged states the cost
+    #     volumes are nearly flat, and in bf16 two differently-fused
+    #     programs of the SAME function land multi-px apart — measured r5:
+    #     the restored phase-A best read 4.45 px under the jitted eval but
+    #     17.1 under the jitted grad-graph forward, and descending the
+    #     latter DROVE UP the former (stages 0-2 eval 7 -> 20 while train
+    #     loss fell 21 -> 10). f32 programs agree to ~0.01 px at the same
+    #     states, so in f32 "train loss down" provably means "eval down".
+    #     (Batch-mode on a small fixed corpus cannot substitute: the
+    #     network co-adapts to its own batch statistics into states whose
+    #     in-step loss reads ~1 px while corpus-calibrated evals read ~9 —
+    #     see TrainConfig.bn_mode and the --batch help.)
 
-    # Eval batches cover the corpus in as few dispatches as possible:
-    # identical math (the metric sums are validity-weighted), and tunnel
-    # dispatches are what the wall-clock of this run is made of.
-    eval_batch = min(2 * args.batch, args.pairs)
-
-    def make_trainer(bn_mode, lr, epochs):
+    def make_trainer(bn_mode, lr, epochs, dtype, batch):
+        # Eval batches cover the corpus in as few dispatches as possible:
+        # identical math (the metric sums are validity-weighted), and
+        # tunnel dispatches are what this run's wall-clock is made of.
+        eval_batch = min(2 * batch, args.pairs)
         tcfg = TrainConfig(lr=lr, epochs=epochs,
-                           train_batch_size=args.batch,
+                           train_batch_size=batch,
                            eval_batch_size=eval_batch,
                            bn_mode=bn_mode,
                            bn_reestimate_batches=(
                                0 if bn_mode == "frozen"
-                               else args.pairs // args.batch),
+                               else args.pairs // batch),
                            save_path=os.path.join(workdir, f"ckpt_{name}"),
                            log_every=10, **mask_kwargs)
-        train_pipe = StereoPipeline(index, args.batch, training=True,
+        train_pipe = StereoPipeline(index, batch, training=True,
                                     crop=(H, W), kitti=True, num_workers=4)
         eval_pipe = StereoPipeline(index, eval_batch, training=False,
                                    crop=(H, W), kitti=True, num_workers=4)
         return Trainer(
-            TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+            TrainerConfig(model=ModelConfig(compute_dtype=dtype),
+                          train=tcfg, eval_metric="epe"),
             train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
 
-    trainer = make_trainer("batch", args.lr, args.epochs)
+    trainer = make_trainer("batch", args.lr, args.epochs, args.dtype,
+                           args.batch)
     trainer.init_state()
 
     epe0 = trainer.evaluate()  # random-init EPE for contrast
@@ -185,7 +193,9 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     trainer.fit(args.epochs)
     phase_a_best = trainer.best_error
 
-    trainer_b = make_trainer("frozen", args.lr * 0.1, args.tail_epochs)
+    trainer_b = make_trainer("frozen", args.lr * args.tail_lr_scale,
+                             args.tail_epochs, args.tail_dtype,
+                             args.tail_batch)
     trainer_b.init_state()
     # Phase B resumes from phase A's BEST checkpoint (params + the healthy
     # batch-mode running statistics, now frozen).
@@ -225,8 +235,16 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=80)
-    p.add_argument("--tail-epochs", type=int, default=40)
+    # Phase A's calibrated best lands EARLY (epoch ~8 in every measured
+    # run; longer batch-mode training only deepens stat co-adaptation), so
+    # phase A is short and the f32 tail gets the step budget.
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--tail-epochs", type=int, default=150)
+    p.add_argument("--tail-dtype", type=str, default="float32",
+                   help="phase-B compute dtype (see run_regime: f32 makes "
+                        "the tail's descent provably transfer to the eval)")
+    p.add_argument("--tail-batch", type=int, default=8,
+                   help="phase-B batch (f32 backward at batch 16 OOMs)")
     p.add_argument("--pairs", type=int, default=64)
     # Batch 16 = a quarter of the corpus PER STEP. This is the load-bearing
     # choice: with small batches (4), batch-mode BN lets the network
@@ -240,6 +258,8 @@ def main() -> None:
     # 16 GB HBM.)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1.5e-3)
+    p.add_argument("--tail-lr-scale", type=float, default=0.2,
+                   help="phase-B (frozen-BN) lr as a fraction of --lr")
     # bfloat16 = the production compute dtype (params/BN stats stay f32);
     # also the memory envelope: the f32 backward at batch 16 OOMs the
     # 16 GB HBM on the full-res refinement activations.
@@ -307,9 +327,12 @@ def main() -> None:
         "device": jax.devices()[0].device_kind,
         "pairs": args.pairs,
         "batch": args.batch,
-        "recipe": (f"phase A: batch-mode BN, lr {args.lr:g}, "
+        "recipe": (f"phase A: batch-mode BN + per-epoch precise-BN, "
+                   f"{args.dtype}, batch {args.batch}, lr {args.lr:g}, "
                    f"{args.epochs} epochs; phase B: frozen BN from the "
-                   f"phase-A best checkpoint, lr {args.lr * 0.1:g}, "
+                   f"phase-A best checkpoint, {args.tail_dtype}, batch "
+                   f"{args.tail_batch}, lr "
+                   f"{args.lr * args.tail_lr_scale:g}, "
                    f"{args.tail_epochs} epochs (see run_regime docstring)"),
         "runs": runs,
     }

@@ -76,7 +76,26 @@ def main() -> None:
 
     fn_pallas = jax.jit(make_forward(model, num_stages=4, use_pallas=True))
     fn_xla = jax.jit(make_forward(model, num_stages=4, use_pallas=False))
-    outs_p = jax.block_until_ready(fn_pallas(state.variables, l, r))
+    try:
+        outs_p = jax.block_until_ready(fn_pallas(state.variables, l, r))
+    except Exception as e:
+        # Known: Mosaic (current TPU toolchain) refuses the f32 sublane
+        # broadcasts the kernels' mask multiplies need — bf16 (the
+        # production inference dtype) compiles and is the meaningful
+        # parity check. Record the refusal instead of crashing so the
+        # artifact documents the limitation.
+        result = {
+            "device": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "weights": weights,
+            "compute_dtype": args.dtype,
+            "pallas_compile_error": f"{type(e).__name__}: {e}"[:400],
+            "pass": False,
+        }
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1, allow_nan=False)
+        print(json.dumps(result, allow_nan=False))
+        sys.exit(2)
     outs_x = jax.block_until_ready(fn_xla(state.variables, l, r))
 
     bar = 0.001 if args.dtype == "float32" else 0.02

@@ -177,7 +177,12 @@ def _dgrid_kernel(xm_ref, xc_ref, xp_ref, mask_ref, w_ref, b_ref, o_ref, *,
         y = acc + b_ref[:].astype(jnp.float32)  # (co, 1) bias broadcast
         if relu:
             # Gap/margin lanes must stay zero: relu(bias) would otherwise
-            # leak into the next layer's shifted taps.
+            # leak into the next layer's shifted taps. The f32 (1, Lc) ->
+            # (co, Lc) sublane vector.broadcast is refused by Mosaic
+            # ("Invalid input layout"; bf16 is fine), so f32 replicates the
+            # mask row with an explicit sublane concatenate instead.
+            if mask_c.dtype == jnp.float32 and co > 1:
+                mask_c = jnp.concatenate([mask_c] * co, axis=0)
             y = jnp.maximum(y, 0) * mask_c
         o_ref[0, 0, :, 0:ML] = jnp.zeros((co, ML), o_ref.dtype)
         o_ref[0, 0, :, ML:ML + Lc] = y.astype(o_ref.dtype)

@@ -145,13 +145,26 @@ def _window(p_ref, c_ref, n_ref):
     return jnp.concatenate([p_ref[0], c_ref[0], n_ref[0]], axis=1)
 
 
+def _mul_rows(x: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+    """x * row with row (1, L) replicated over x's sublanes. Mosaic
+    (current TPU toolchain) refuses the F32 (1, L) -> (n, L)
+    vector.broadcast the implicit multiply needs — while handling the same
+    broadcast fine for bf16 rows — so f32 rows are replicated with an
+    explicit sublane concatenate (exact; the same mechanism as the
+    kernels' K-stacks)."""
+    n = x.shape[0]
+    if row.dtype == jnp.float32 and n > 1:
+        row = jnp.concatenate([row] * n, axis=0)
+    return x * row
+
+
 def _activate(win, aff, C):
     """BN-affine + ReLU + mask over the window's C data rows. `aff` is
     (2, C, 1) (lane-broadcast by the multiply) or (2, C, win_width)
     pre-broadcast, per COMPACT_WEIGHTS; the mask row kills canvas pads so
     the affine shift never leaks into them."""
     act = jnp.maximum(win[:C] * aff[0] + aff[1], 0)
-    return act * win[C:C + 1]
+    return _mul_rows(act, win[C:C + 1])
 
 
 def _dwsep_kernel(p_ref, c_ref, n_ref, aff_ref, dw_ref, pw_ref, o_ref, *,
@@ -173,7 +186,7 @@ def _dwsep_kernel(p_ref, c_ref, n_ref, aff_ref, dw_ref, pw_ref, o_ref, *,
     # a later activation-free layer (the final conv) must read zeros there —
     # the reference zero-pads every layer's input.
     mask = c_ref[0, C:C + 1]
-    o_ref[0, 0:pw.shape[0]] = (out * mask).astype(o_ref.dtype)
+    o_ref[0, 0:pw.shape[0]] = _mul_rows(out, mask).astype(o_ref.dtype)
     o_ref[0, pw.shape[0]:] = mask.astype(o_ref.dtype)
 
 
@@ -210,8 +223,8 @@ def _dwsep2_kernel(p_ref, c_ref, n_ref, a1_ref, dw1_ref, pw1_ref,
     # re-masks — so round the f32 dot output to dt before the affine and
     # multiply by the canvas mask on both sides.
     mask_i = win[C:C + 1, m0 * S:m0 * S + ri * S]
-    inter = (inter * mask_i).astype(act.dtype)
-    inter = jnp.maximum(inter * a2[0] + a2[1], 0) * mask_i
+    inter = _mul_rows(inter, mask_i).astype(act.dtype)
+    inter = _mul_rows(jnp.maximum(inter * a2[0] + a2[1], 0), mask_i)
 
     acc = None
     for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
@@ -223,7 +236,7 @@ def _dwsep2_kernel(p_ref, c_ref, n_ref, a1_ref, dw1_ref, pw1_ref,
         pw2, acc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
     mask = c_ref[0, C:C + 1]
-    o_ref[0, 0:pw2.shape[0]] = (out * mask).astype(o_ref.dtype)
+    o_ref[0, 0:pw2.shape[0]] = _mul_rows(out, mask).astype(o_ref.dtype)
     o_ref[0, pw2.shape[0]:] = mask.astype(o_ref.dtype)
 
 
@@ -251,7 +264,7 @@ def _dense_kernel(p_ref, c_ref, n_ref, aff_ref, w_ref, o_ref, *,
             preferred_element_type=jnp.float32, precision=precision)
         acc = term if acc is None else acc + term
     mask = c_ref[0, win.shape[0] - 1:]  # see _dwsep_kernel: pads stay zero
-    o_ref[0, 0:Co] = (acc * mask).astype(o_ref.dtype)
+    o_ref[0, 0:Co] = _mul_rows(acc, mask).astype(o_ref.dtype)
     o_ref[0, Co:] = mask.astype(o_ref.dtype)
 
 
@@ -280,7 +293,7 @@ def _dense2_kernel(pa_ref, ca_ref, na_ref, pb_ref, cb_ref, nb_ref,
                 preferred_element_type=jnp.float32, precision=precision)
             acc = term if acc is None else acc + term
     mask = ca_ref[0, ca_ref.shape[1] - 1:]
-    o_ref[0, 0:Co] = (acc * mask).astype(o_ref.dtype)
+    o_ref[0, 0:Co] = _mul_rows(acc, mask).astype(o_ref.dtype)
     o_ref[0, Co:] = mask.astype(o_ref.dtype)
 
 
@@ -306,6 +319,11 @@ def dense2_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
     d = dilation
     R = block_rows or _block_rows(d)
     dt = x.dtype
+    if dt == jnp.float32:
+        # f32 doubles the six halo-view windows AND the per-dx K-stacked
+        # (3Ci, R*S) temporaries; at R=48 the register allocator spills
+        # ~237 MB of VMEM and Mosaic refuses. Narrow blocks restore it.
+        R = max(16, 2 * d)
     width = (R + 4 * d) * S
 
     def wstack(k):  # (3 dx, Co, 3 dy * Ci), dy-major (see dense_layer)
@@ -334,6 +352,10 @@ def dense2_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
                             memory_space=pltpu.VMEM)
 
     consts = (affa, wa, affb, wb)
+    # f32 doubles the six double-buffered halo-view windows; at R=16 the
+    # scoped demand is ~127 MB — just inside the v5e's 128 MB VMEM, so the
+    # f32 path gets the full budget (bf16 keeps comfortable headroom).
+    vmem_mb = 127 if dt == jnp.float32 else 110
     return pl.pallas_call(
         functools.partial(_dense2_kernel, S=S, R=R, d=d,
                           precision=_precision(dt)),
@@ -344,7 +366,7 @@ def dense2_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
         out_shape=jax.ShapeDtypeStruct((B, Co + 1, NR * S),
                                        out_dtype or dt),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
     )(x, x, x, x, x, x, *consts)
 
