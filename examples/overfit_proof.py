@@ -9,15 +9,18 @@ train step -> eval -> best checkpoint) under BOTH loss-mask regimes
 A monotone loss + sub-pixel final EPE proves the whole training stack
 (model, loss, Adam, BN, data path) optimizes end to end on TPU.
 
-Batch-size note: 64 pairs trained at batch 16 (a quarter corpus per step) —
-with small batches, batch-mode BatchNorm lets the network co-adapt to the
-per-batch statistics themselves (measured: sub-pixel in-step loss at batch
-4 coexisting with 9 px corpus-calibrated EPE; see TrainConfig.bn_mode and
-the --batch help). Large batches make batch statistics ~= corpus
-statistics every step, which is also the reference's own regime (its
-per-batch statistics estimate the corpus because the corpus is huge).
+Two r5-measured failure modes shape the recipe (see run_regime):
+batch-stat co-adaptation (small batches let batch-mode BN overfit the
+per-batch statistics themselves: sub-pixel in-step loss at batch 4
+coexisting with 9 px corpus-calibrated EPE) and TPU default-precision
+program divergence (f32 convs run single-pass BF16 MXU math, and at
+half-converged states two differently-fused programs of the same function
+land multi-px apart — the optimizer then minimizes its own program's
+rounding artifacts while the eval metric rises). Hence: the largest batch
+that fits (8 in f32), per-epoch precise-BN, true-f32 accumulation
+(--matmul-precision highest), and a frozen-BN lock-in tail.
 
-    python examples/overfit_proof.py [--epochs 80] [--out OVERFIT_PROOF.json]
+    python examples/overfit_proof.py [--epochs 40] [--out OVERFIT_PROOF.json]
 """
 
 from __future__ import annotations
@@ -132,19 +135,17 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     #   Phase B — freeze the (now-calibrated) running statistics, decay lr,
     #     and switch to FLOAT32 compute: the optimization becomes a plain
     #     deterministic CNN fit with NO train/eval BatchNorm gap (the train
-    #     forward IS the eval forward), locking in a monotone tail. The
-    #     dtype switch is load-bearing: at half-converged states the cost
-    #     volumes are nearly flat, and in bf16 two differently-fused
-    #     programs of the SAME function land multi-px apart — measured r5:
-    #     the restored phase-A best read 4.45 px under the jitted eval but
-    #     17.1 under the jitted grad-graph forward, and descending the
-    #     latter DROVE UP the former (stages 0-2 eval 7 -> 20 while train
-    #     loss fell 21 -> 10). f32 programs agree to ~0.01 px at the same
-    #     states, so in f32 "train loss down" provably means "eval down".
-    #     (Batch-mode on a small fixed corpus cannot substitute: the
-    #     network co-adapts to its own batch statistics into states whose
-    #     in-step loss reads ~1 px while corpus-calibrated evals read ~9 —
-    #     see TrainConfig.bn_mode and the --batch help.)
+    #     forward IS the eval forward), locking in a monotone tail.
+    #
+    #   Both phases run f32 with --matmul-precision highest: with the TPU
+    #   default (single-pass BF16 MXU math even for "f32"), the jitted
+    #   train and eval programs fuse differently and at half-converged
+    #   states (near-flat cost volumes) read multi-px apart on the SAME
+    #   state — measured r5: restored best 4.45 px under the eval program,
+    #   17.1 under the grad-graph program, in BOTH bf16 and f32-default
+    #   tails, with the tail then driving the eval metric UP (7 -> 20)
+    #   while its own loss fell (21 -> 10). True-f32 accumulation makes
+    #   every program agree with CPU-f32, so descent provably transfers.
 
     def make_trainer(bn_mode, lr, epochs, dtype, batch):
         # Eval batches cover the corpus in as few dispatches as possible:
@@ -238,12 +239,12 @@ def main() -> None:
     # Phase A's calibrated best lands EARLY (epoch ~8 in every measured
     # run; longer batch-mode training only deepens stat co-adaptation), so
     # phase A is short and the f32 tail gets the step budget.
-    p.add_argument("--epochs", type=int, default=15)
-    p.add_argument("--tail-epochs", type=int, default=150)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--tail-epochs", type=int, default=100)
     p.add_argument("--tail-dtype", type=str, default="float32",
                    help="phase-B compute dtype (see run_regime: f32 makes "
                         "the tail's descent provably transfer to the eval)")
-    p.add_argument("--tail-batch", type=int, default=8,
+    p.add_argument("--tail-batch", type=int, default=8,  # = --batch
                    help="phase-B batch (f32 backward at batch 16 OOMs)")
     p.add_argument("--pairs", type=int, default=64)
     # Batch 16 = a quarter of the corpus PER STEP. This is the load-bearing
@@ -256,15 +257,21 @@ def main() -> None:
     # evaluated. (16, not 32: the f32 backward materializes
     # (B, 256, 512, 32) refinement-tower activations — batch 32 OOMs the
     # 16 GB HBM.)
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1.5e-3)
     p.add_argument("--tail-lr-scale", type=float, default=0.2,
                    help="phase-B (frozen-BN) lr as a fraction of --lr")
-    # bfloat16 = the production compute dtype (params/BN stats stay f32);
-    # also the memory envelope: the f32 backward at batch 16 OOMs the
-    # 16 GB HBM on the full-res refinement activations.
-    p.add_argument("--dtype", type=str, default="bfloat16")
-    p.add_argument("--matmul-precision", type=str, default="default",
+    # float32 + matmul-precision=highest: the proof's numerics must be
+    # self-consistent across programs. On TPU, "f32" convs default to
+    # single-pass BF16 MXU math, and at half-converged states (near-flat
+    # cost volumes) two differently-fused programs of the SAME function
+    # land multi-px apart -- the train step then optimizes its own
+    # program's rounding artifacts while the eval program's metric rises
+    # (measured r5 in both bf16 and f32-default tails). True-f32
+    # accumulation makes every program agree (verified vs CPU-f32).
+    # Batch 8 is the f32 memory envelope (b16 f32 backward OOMs 16 GB).
+    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--matmul-precision", type=str, default="highest",
                    choices=["default", "highest"],
                    help="TPU f32 convs use single-pass BF16 MXU math by "
                         "default; 'highest' forces true-f32 accumulation "
