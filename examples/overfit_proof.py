@@ -239,12 +239,14 @@ def main() -> None:
     # Phase A's calibrated best lands EARLY (epoch ~8 in every measured
     # run; longer batch-mode training only deepens stat co-adaptation), so
     # phase A is short and the f32 tail gets the step budget.
-    p.add_argument("--epochs", type=int, default=40)
-    p.add_argument("--tail-epochs", type=int, default=100)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--tail-epochs", type=int, default=60)
     p.add_argument("--tail-dtype", type=str, default="float32",
                    help="phase-B compute dtype (see run_regime: f32 makes "
                         "the tail's descent provably transfer to the eval)")
-    p.add_argument("--tail-batch", type=int, default=8,  # = --batch
+    p.add_argument("--tail-batch", type=int, default=4,
+                   # 4, not 8: highest-precision f32 convs pad some fusion
+                   # buffers 4x; the batch-8 tail backward OOMs 16 GB HBM.
                    help="phase-B batch (f32 backward at batch 16 OOMs)")
     p.add_argument("--pairs", type=int, default=64)
     # Batch 16 = a quarter of the corpus PER STEP. This is the load-bearing
