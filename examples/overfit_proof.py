@@ -147,7 +147,8 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     #   while its own loss fell (21 -> 10). True-f32 accumulation makes
     #   every program agree with CPU-f32, so descent provably transfers.
 
-    def make_trainer(bn_mode, lr, epochs, dtype, batch):
+    def make_trainer(bn_mode, lr, epochs, dtype, batch,
+                     milestones=()):
         # Eval batches cover the corpus in as few dispatches as possible:
         # identical math (the metric sums are validity-weighted), and
         # tunnel dispatches are what this run's wall-clock is made of.
@@ -155,6 +156,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         tcfg = TrainConfig(lr=lr, epochs=epochs,
                            train_batch_size=batch,
                            eval_batch_size=eval_batch,
+                           lr_milestones=milestones, lr_gamma=0.25,
                            bn_mode=bn_mode,
                            bn_reestimate_batches=(
                                0 if bn_mode == "frozen"
@@ -194,9 +196,14 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     trainer.fit(args.epochs)
     phase_a_best = trainer.best_error
 
+    # The tail anneals (MultiStep x0.25 at 1/3 and 2/3): at a constant
+    # 3e-4 the frozen fit oscillates 2-4 px around its minimum (measured);
+    # the decay converts the bounce into convergence for the last mile.
     trainer_b = make_trainer("frozen", args.lr * args.tail_lr_scale,
                              args.tail_epochs, args.tail_dtype,
-                             args.tail_batch)
+                             args.tail_batch,
+                             milestones=(args.tail_epochs // 3,
+                                         2 * args.tail_epochs // 3))
     trainer_b.init_state()
     # Phase B resumes from phase A's BEST checkpoint (params + the healthy
     # batch-mode running statistics, now frozen).
