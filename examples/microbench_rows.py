@@ -16,9 +16,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+RESULTS: dict = {}
+
+
 def main() -> None:
+    import argparse
+    import json
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", type=str, default="",
+                    help="also dump every measurement to this JSON file")
+    cli = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -35,6 +46,14 @@ def main() -> None:
 
     def t(fn, *args, iters=50):
         return device_time(fn, *args, iters=iters) * 1e3
+
+    _print = print
+
+    def print(line):  # noqa: A001 - log AND record "label: x ms" lines
+        _print(line, flush=True)
+        if ":" in line and line.rstrip().endswith("ms"):
+            label, val = line.rsplit(":", 1)
+            RESULTS[label.strip()] = float(val.strip().split()[0])
 
     C = 32
     x = jnp.asarray(rng.standard_normal((1, C + 1, NR * S)), dt)
@@ -54,6 +73,27 @@ def main() -> None:
         ms = t(lambda a: R.dwsep_layer(a, aff, dwk, pwk, dilation=d,
                                        S=S, NR=NR), x2)
         print(f"dwsep d={d:2d} B=2:    {ms:7.3f} ms")
+
+    # composed-dense dw-sep (the "mxu" variant): same layer as ONE dense
+    # MXU matmul over the rank-1 kernel dw*pw (refine_pallas._compose_dwsep)
+    from lwsnet_tpu.models.refine_pallas import _compose_dwsep
+
+    ck = np.asarray(_compose_dwsep(jnp.asarray(dwk), jnp.asarray(pwk)))
+    ckj = jnp.asarray(ck)
+    for d in (2, 4, 8, 16):
+        ms = t(lambda a, dd=d: R.dense_layer(a, ckj, dilation=dd, S=S, NR=NR,
+                                             affine=aff), x)
+        print(f"mxu-dense d={d:2d}:    {ms:7.3f} ms")
+        ms = t(lambda a, dd=d: R.dense_layer(a, ckj, dilation=dd, S=S, NR=NR,
+                                             affine=aff), x2)
+        print(f"mxu-dense d={d:2d} B=2: {ms:7.3f} ms")
+    for rb in (64, 96):
+        Sr, NRr = R.canvas_geom(H, W, unit=rb)
+        xr = jnp.asarray(rng.standard_normal((2, C + 1, NRr * Sr)), dt)
+        ms = t(lambda a, rb=rb, Sr=Sr, NRr=NRr: R.dense_layer(
+            a, ckj, dilation=16, S=Sr, NR=NRr, affine=aff,
+            block_rows=rb), xr)
+        print(f"mxu-dense d=16 R={rb} B=2: {ms:7.3f} ms")
 
     # dense layers at the three real shapes
     ek = jnp.asarray(rng.standard_normal((3, 3, 3, 32)), jnp.float32)
@@ -167,6 +207,16 @@ def main() -> None:
         ms = t(lambda l, p=paired: refine_residual(
             variables, l, disp, mode="rows", paired=p), left, iters=20)
         print(f"refine_residual rows paired={int(paired)}: {ms:7.3f} ms")
+    ms = t(lambda l: refine_residual(
+        variables, l, disp, mode="rows", dw="mxu"), left, iters=20)
+    print(f"refine_residual rows mxu: {ms:7.3f} ms")
+
+    if cli.json:
+        dev = jax.devices()[0].device_kind
+        with open(cli.json, "w") as f:
+            json.dump({"device": dev, "input": f"{H}x{W}",
+                       "unit": "ms", "timings": RESULTS}, f, indent=1)
+        _print(f"wrote {cli.json}")
 
 
 if __name__ == "__main__":

@@ -113,7 +113,7 @@ def make_forward(model: LWSNet, num_stages: Optional[int] = None,
                 res = refine_pallas.refine_residual(
                     variables, left, preds[-1], dtype=dtype,
                     interpret=interp, mode=cfg.pallas_mode,
-                    paired=cfg.rows_paired)
+                    paired=cfg.rows_paired, dw=cfg.rows_dw)
                 preds.append(preds[-1] + res)
         return [x.astype(jnp.float32) for x in preds]
 

@@ -126,7 +126,22 @@ def _head_layers(tower_l, tower_d, weights, chunk, h, w, dtype, interpret):
                          h_real=h, w_real=w, interpret=interpret)
 
 
-def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
+def _compose_dwsep(dwk: jnp.ndarray, pwk: jnp.ndarray) -> jnp.ndarray:
+    """Fold a depthwise 3x3 kernel (3, 3, 1, C) HWIO and a pointwise kernel
+    (Co, C) into the equivalent dense conv kernel (3, 3, C, Co):
+
+        k[dy, dx, ci, co] = dw[dy, dx, ci] * pw[co, ci]
+
+    Exact by associativity: pointwise(depthwise(x)) sums the same products
+    in a different order. This turns the dw-sep layer's 9 per-channel VPU
+    tap multiply-adds into one MXU matmul (contraction 3*C) — the "mxu"
+    rows variant. The product is formed in f32 (the bf16 cast happens once,
+    inside dense_layer)."""
+    return (dwk[:, :, 0, :, None].astype(jnp.float32)
+            * pwk.T[None, None].astype(jnp.float32))
+
+
+def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired, dw):
     """Row-canvas refinement (ops/pallas/refine_rows): the default
     inference mode — seconds-class cold compile, fastest measured.
 
@@ -135,19 +150,35 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
     weights selected by the grid's batch index — the disparity tower's
     1-channel input/entry zero-pad to the RGB tower's 3 channels, which is
     exact (zero input channels contribute nothing) — and the head runs as
-    dense + two pair-fused dw-sep kernels + output conv."""
+    dense + two pair-fused dw-sep kernels + output conv.
+
+    dw = "mxu" replaces every dw-sep kernel with a dense_layer over the
+    composed rank-1 kernel (see `_compose_dwsep`): 13 dense kernels, all
+    MXU matmuls. The VPU variants ("vpu", paired or not) spend ~9 vector
+    multiply-adds per channel-row on the depthwise taps; the MXU variant
+    spends MXU FLOPs instead, which at C=32 (K-stack contraction 96) the
+    v5e has to spare."""
     from lwsnet_tpu.ops.pallas import refine_rows as R
 
     B = left.shape[0]
     # Unpaired geometry needs NR divisible by 96 too (solo d=16 runs at
     # R=96: the halo views' 2d-row block unit must divide R and NR).
-    S, NR = R.canvas_geom(H, W, unit=R.PAIR_UNIT if paired else 96)
+    # The mxu pipeline's dense blocks run at the default 32 rows (d<=8)
+    # and 32 | 96 for d=16, with the head entry at 48: unit 96 satisfies
+    # every divisibility constraint at once.
+    S, NR = R.canvas_geom(
+        H, W, unit=96 if dw == "mxu" else
+        (R.PAIR_UNIT if paired else 96))
     Rb = R.PAIR_UNIT
 
+    # The mxu path composes dw*pw weight products; keep those in f32 and
+    # let dense_layer do the single canvas-dtype cast (one rounding, not
+    # two). The VPU kernels take their operands pre-cast as before.
+    wdt = jnp.float32 if dw == "mxu" else dtype
     el, al, kl, pl_ = _tower_weights(p["RefinementTower_0"],
-                                     s["RefinementTower_0"], dtype)
+                                     s["RefinementTower_0"], wdt)
     ed, ad, kd, pd_ = _tower_weights(p["RefinementTower_1"],
-                                     s["RefinementTower_1"], dtype)
+                                     s["RefinementTower_1"], wdt)
     entries = jnp.stack([el, jnp.pad(ed, ((0, 0), (0, 0), (0, 2), (0, 0)))])
 
     def tw(i):
@@ -166,7 +197,14 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
     y = R.to_canvas(x, S, NR, dtype)
     y = R.dense_layer(y, entries, dilation=1, S=S, NR=NR, groups=2,
                       block_rows=Rb, interpret=interpret)
-    if paired:
+    if dw == "mxu":
+        for i, d in enumerate(TOWER_DILATIONS):
+            y = R.dense_layer(
+                y, jnp.stack([_compose_dwsep(kl[i], pl_[i]),
+                              _compose_dwsep(kd[i], pd_[i])]),
+                dilation=d, S=S, NR=NR, groups=2,
+                affine=jnp.stack([al[i], ad[i]]), interpret=interpret)
+    elif paired:
         for i in (0, 2):  # pairs (2, 4) and (8, 16)
             y = R.dwsep2_layer(y, *tw(i), *tw(i + 1),
                                dilation1=TOWER_DILATIONS[i],
@@ -180,14 +218,19 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
                               interpret=interpret)
 
     aff0, dense, affs, dwks, pwks, out_k = _head_weights(
-        p["RefinementHead_0"], s["RefinementHead_0"], dtype)
+        p["RefinementHead_0"], s["RefinementHead_0"], wdt)
     # The head's 64-channel entry consumes concat(left tower, disp tower);
     # dense2_layer computes conv_l(tl) + conv_d(td) straight off the
     # grouped tower canvas — exact, and skips materializing the 65-row
     # concat canvas (a full HBM round trip, ~145 MB/frame at 368x1232).
     y = R.dense2_layer(y, dense, dilation=HEAD_DENSE_DILATION, S=S, NR=NR,
                        affine=aff0, block_rows=Rb, interpret=interpret)
-    if paired:
+    if dw == "mxu":
+        for i, d in enumerate(HEAD_DILATIONS):
+            y = R.dense_layer(y, _compose_dwsep(dwks[i], pwks[i]),
+                              dilation=d, S=S, NR=NR, affine=affs[i],
+                              interpret=interpret)
+    elif paired:
         for i in (0, 2):  # pairs (8, 4) and (2, 1)
             y = R.dwsep2_layer(y, affs[i], dwks[i], pwks[i],
                                affs[i + 1], dwks[i + 1], pwks[i + 1],
@@ -208,7 +251,8 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired):
 
 def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
                     *, dtype=jnp.bfloat16, interpret: bool = False,
-                    mode: str = "rows", paired: bool = True) -> jnp.ndarray:
+                    mode: str = "rows", paired: bool = True,
+                    dw: str = "vpu") -> jnp.ndarray:
     """The stage-4 refinement residual via the fused Pallas kernels.
 
     Equals RefinementTower(left) ++ RefinementTower(disp) -> RefinementHead
@@ -236,6 +280,11 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
         LWSNET_ROWS_PAIRED=0/1 overrides it — read HERE, at trace time, so
         a jit-cached forward ignores later env flips; it exists for A/B
         measurement scripts only.
+      dw: "rows" depthwise engine (ModelConfig.rows_dw). "vpu" = 9-tap
+        vector multiply-adds (paired/unpaired per `paired`); "mxu" = each
+        dw-sep layer as one dense MXU matmul over the composed rank-1
+        kernel (see `_compose_dwsep`; `paired` is then irrelevant). Env
+        override LWSNET_ROWS_DW, trace-time, A/B scripts only.
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
@@ -244,10 +293,13 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     env = _os.environ.get("LWSNET_ROWS_PAIRED")
     if env is not None:
         paired = env != "0"
+    dw = _os.environ.get("LWSNET_ROWS_DW", dw)
+    assert dw in ("vpu", "mxu"), dw
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
     if mode == "rows":
-        return _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired)
+        return _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired,
+                          dw)
     xl = jnp.transpose(left.astype(dtype), (0, 3, 1, 2))
     xd = jnp.transpose(disp.astype(dtype), (0, 3, 1, 2))
     tw_l = _tower_weights(p["RefinementTower_0"], s["RefinementTower_0"],

@@ -40,11 +40,16 @@ def _jittered_variables(model, left, right, rng):
 
 @pytest.fixture(scope="module",
                 params=["float32-layers", "float32-rows",
-                        "bfloat16-layers", "bfloat16-rows"])
+                        "bfloat16-layers", "bfloat16-rows",
+                        "float32-rows-mxu", "bfloat16-rows-mxu"])
 def stage4_pair(request):
-    """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo."""
-    dtype, mode = request.param.split("-")
-    cfg = ModelConfig(compute_dtype=dtype, pallas_mode=mode)
+    """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo.
+    The -mxu variants run the rows pipeline with every dw-sep layer as a
+    composed rank-1 dense MXU matmul (refine_pallas._compose_dwsep)."""
+    parts = request.param.split("-")
+    dtype, mode = parts[0], parts[1]
+    dw = parts[2] if len(parts) > 2 else "vpu"
+    cfg = ModelConfig(compute_dtype=dtype, pallas_mode=mode, rows_dw=dw)
     model = LWSNet(cfg)
     rng = np.random.default_rng(0)
     left = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
