@@ -29,6 +29,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", type=str, default="",
                     help="also dump every measurement to this JSON file")
+    ap.add_argument("--full", action="store_true",
+                    help="also run the slow-compiling pair-kernel probes "
+                         "(dwsep2 at taller blocks etc.)")
     cli = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -38,6 +41,16 @@ def main() -> None:
     from lwsnet_tpu.ops.pallas import refine_rows as R
     from lwsnet_tpu.utils.timing import device_time
 
+    import builtins
+
+    _print = builtins.print
+
+    def print(line):  # noqa: A001 - log AND record "label: x ms" lines
+        _print(line, flush=True)
+        if ":" in line and line.rstrip().endswith("ms"):
+            label, val = line.rsplit(":", 1)
+            RESULTS[label.strip()] = float(val.strip().split()[0])
+
     H, W = 368, 1232
     S, NR = R.canvas_geom(H, W)
     print(f"canvas: S={S} NR={NR} ({NR * S * 2 / 1e6:.1f} MB/row bf16)")
@@ -46,14 +59,6 @@ def main() -> None:
 
     def t(fn, *args, iters=50):
         return device_time(fn, *args, iters=iters) * 1e3
-
-    _print = print
-
-    def print(line):  # noqa: A001 - log AND record "label: x ms" lines
-        _print(line, flush=True)
-        if ":" in line and line.rstrip().endswith("ms"):
-            label, val = line.rsplit(":", 1)
-            RESULTS[label.strip()] = float(val.strip().split()[0])
 
     C = 32
     x = jnp.asarray(rng.standard_normal((1, C + 1, NR * S)), dt)
@@ -132,7 +137,7 @@ def main() -> None:
     xp = jnp.asarray(rng.standard_normal((2, C + 1, NR48 * S48)), dt)
     S96, NR96 = R.canvas_geom(H, W, unit=96)
     xs = jnp.asarray(rng.standard_normal((2, C + 1, NR96 * S96)), dt)
-    for d1, d2 in ((2, 4), (8, 16)):
+    for d1, d2 in ((2, 4), (8, 16)) if cli.full else ((2, 4),):
         ms = t(lambda a: R.dwsep2_layer(a, aff, dwk, pwk, aff, dwk, pwk,
                                         dilation1=d1, dilation2=d2,
                                         S=S48, NR=NR48, block_rows=48), xp)
@@ -142,6 +147,8 @@ def main() -> None:
             aff, dwk, pwk, dilation=d2, S=S96, NR=NR96,
             block_rows=96 if d2 == 16 else 0), xs)
         print(f"solo+solo ({d1:2d},{d2:2d}) B=2: {ms:7.3f} ms")
+        if not cli.full:
+            continue
         # taller pair blocks: halo recompute amortizes over 96 output rows
         # (e.g. (8,16): intermediate 130/96 = 1.35x vs 82/48 = 1.71x)
         ms = t(lambda a: R.dwsep2_layer(a, aff, dwk, pwk, aff, dwk, pwk,
@@ -210,6 +217,9 @@ def main() -> None:
     ms = t(lambda l: refine_residual(
         variables, l, disp, mode="rows", dw="mxu"), left, iters=20)
     print(f"refine_residual rows mxu: {ms:7.3f} ms")
+    ms = t(lambda l: refine_residual(
+        variables, l, disp, mode="rows", dw="chain"), left, iters=20)
+    print(f"refine_residual rows chain: {ms:7.3f} ms")
 
     if cli.json:
         dev = jax.devices()[0].device_kind

@@ -123,6 +123,7 @@ def main() -> None:
         "weights": weights,
         "compute_dtype": args.dtype,
         "pallas_mode": cfg.pallas_mode,
+        "rows_dw": os.environ.get("LWSNET_ROWS_DW", cfg.rows_dw),
         "bar": f"mean |delta| < {bar * 100:g}% of XLA span per stage",
         "stages": stages,
         "pass": ok,

@@ -167,14 +167,14 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired, dw):
     # and 32 | 96 for d=16, with the head entry at 48: unit 96 satisfies
     # every divisibility constraint at once.
     S, NR = R.canvas_geom(
-        H, W, unit=96 if dw == "mxu" else
+        H, W, unit=96 if dw in ("mxu", "chain") else
         (R.PAIR_UNIT if paired else 96))
     Rb = R.PAIR_UNIT
 
     # The mxu path composes dw*pw weight products; keep those in f32 and
     # let dense_layer do the single canvas-dtype cast (one rounding, not
     # two). The VPU kernels take their operands pre-cast as before.
-    wdt = jnp.float32 if dw == "mxu" else dtype
+    wdt = jnp.float32 if dw in ("mxu", "chain") else dtype
     el, al, kl, pl_ = _tower_weights(p["RefinementTower_0"],
                                      s["RefinementTower_0"], wdt)
     ed, ad, kd, pd_ = _tower_weights(p["RefinementTower_1"],
@@ -195,6 +195,34 @@ def _rows_mode(p, s, left, disp, H, W, dtype, interpret, paired, dw):
          jnp.pad(disp.astype(dtype), ((0, 0), (0, 0), (0, 0), (0, 2)))],
         axis=0)
     y = R.to_canvas(x, S, NR, dtype)
+    if dw == "chain":
+        # Whole-chain kernels: ONE kernel runs the entry conv + all four
+        # composed dw-sep layers of both towers (grouped, batch 2B), ONE
+        # more runs the entire head (two-input dense + 4 composed layers +
+        # output conv). Intermediates never leave VMEM; per-kernel cost on
+        # this pipeline tracks elementwise passes over the canvas (measured
+        # r5: pair fusion saved nothing, per-layer kernels cost ~0.35 ms
+        # each at 368x1232 regardless of engine), so collapsing 13 launches
+        # into 2 attacks the dominant term directly.
+        tker = [entries] + [
+            jnp.stack([_compose_dwsep(kl[i], pl_[i]),
+                       _compose_dwsep(kd[i], pd_[i])])
+            for i in range(len(TOWER_DILATIONS))]
+        taff = [None] + [jnp.stack([al[i], ad[i]])
+                         for i in range(len(TOWER_DILATIONS))]
+        y = R.chain_layer(y, tker, taff, dilations=(1,) + TOWER_DILATIONS,
+                          S=S, NR=NR, groups=2, interpret=interpret)
+        aff0, dense, affs, dwks, pwks, out_k = _head_weights(
+            p["RefinementHead_0"], s["RefinementHead_0"], wdt)
+        hker = [dense] + [_compose_dwsep(dwks[i], pwks[i])
+                          for i in range(len(HEAD_DILATIONS))] + [out_k]
+        haff = [aff0] + [affs[i] for i in range(len(HEAD_DILATIONS))] + [None]
+        y = R.chain_layer(y, hker, haff,
+                          dilations=(HEAD_DENSE_DILATION,) + HEAD_DILATIONS
+                          + (1,),
+                          S=S, NR=NR, two_input=True,
+                          out_dtype=jnp.float32, interpret=interpret)
+        return R.from_canvas(y, H, W, S, NR, 1).astype(jnp.float32)
     y = R.dense_layer(y, entries, dilation=1, S=S, NR=NR, groups=2,
                       block_rows=Rb, interpret=interpret)
     if dw == "mxu":
@@ -283,8 +311,11 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
       dw: "rows" depthwise engine (ModelConfig.rows_dw). "vpu" = 9-tap
         vector multiply-adds (paired/unpaired per `paired`); "mxu" = each
         dw-sep layer as one dense MXU matmul over the composed rank-1
-        kernel (see `_compose_dwsep`; `paired` is then irrelevant). Env
-        override LWSNET_ROWS_DW, trace-time, A/B scripts only.
+        kernel (see `_compose_dwsep`); "chain" = the whole tower stack and
+        the whole head as ONE whole-chain kernel each (composed dense
+        layers, intermediates VMEM-resident — `refine_rows.chain_layer`).
+        `paired` is irrelevant for mxu/chain. Env override LWSNET_ROWS_DW,
+        trace-time, A/B scripts only.
     Returns:
       (B, H, W, 1) float32 residual (caller adds it to `disp`).
     """
@@ -294,7 +325,7 @@ def refine_residual(variables: dict, left: jnp.ndarray, disp: jnp.ndarray,
     if env is not None:
         paired = env != "0"
     dw = _os.environ.get("LWSNET_ROWS_DW", dw)
-    assert dw in ("vpu", "mxu"), dw
+    assert dw in ("vpu", "mxu", "chain"), dw
     p, s = variables["params"], variables["batch_stats"]
     B, H, W, _ = left.shape
     if mode == "rows":

@@ -486,6 +486,194 @@ def dwsep2_layer(x: jnp.ndarray, affine1, dwk1, pwk1, affine2, dwk2, pwk2,
         out_dtype=dt, interpret=interpret, groups=groups)
 
 
+def _chain_margins(dilations):
+    """Input-side row margins per chained layer: layer i's input value must
+    extend m[i] rows past the R output rows on each side, where
+    m[i] = m[i+1] + d[i] + 1 (the +1 covers the corner taps' lane overhang
+    crossing into the neighboring canvas row — same accounting as
+    `_dwsep2_kernel`'s intermediate). m[0] bounds the halo the window must
+    provide (<= 2*dh)."""
+    n = len(dilations)
+    m = [0] * (n + 1)
+    for i in reversed(range(n)):
+        m[i] = m[i + 1] + dilations[i] + 1
+    return m
+
+
+def _chain_kernel(*refs, S, R, dh, dils, n_in, Cis, Cos, has_aff,
+                  precision, out_dtype):
+    """N dense dilated 3x3 conv layers in ONE kernel; every intermediate
+    lives only as a VMEM value. Taps are 9 accumulating MXU dots per layer
+    (operand slices are layout-aligned row-shift views plus a <=d-lane
+    rotate — no K-stack concatenation pass over the data).
+
+    refs: n_in view-triples (prev/cur/next of 2*dh, R, 2*dh rows), then per
+    layer [affine?] + weights (G-blocked consts), then the output ref.
+    With n_in == 2 the first layer is the two-input dense (dense2): it sums
+    conv_a(half A) + conv_b(half B) and consumes TWO weight operands."""
+    views = refs[:3 * n_in]
+    consts = list(refs[3 * n_in:-1])
+    o_ref = refs[-1]
+    m = _chain_margins(dils)
+    n = len(dils)
+
+    def win_of(k):
+        return _window(*views[3 * k:3 * k + 3])
+
+    mask_full = win_of(0)[Cis[0]:Cis[0] + 1]  # (1, (R+4dh)*S)
+
+    def mask_rows(margin):
+        off = (2 * dh - margin) * S
+        return mask_full[:, off:off + (R + 2 * margin) * S]
+
+    def conv9(data, w, d, margin_in, margin_out, acc=None):
+        """data: (Ci, (R+2*margin_in)*S) value; w: (9, Co, Ci). Returns
+        f32 (Co, (R+2*margin_out)*S) accumulating into `acc`."""
+        span = (R + 2 * margin_out) * S
+        base = margin_in - margin_out
+        for t, (dy, dx) in enumerate((dy, dx) for dy in (-1, 0, 1)
+                                     for dx in (-1, 0, 1)):
+            off = (base + dy * d) * S + dx * d
+            sl = data[:, off:off + span]
+            term = jax.lax.dot_general(
+                w[t], sl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            acc = term if acc is None else acc + term
+        return acc
+
+    ci = 0  # const cursor
+    v = None
+    for i in range(n):
+        d = dils[i]
+        margin_in = 2 * dh if i == 0 else m[i]
+        margin_out = m[i + 1]
+        if i == 0:
+            inputs = [win_of(k)[:Cis[0]] for k in range(n_in)]
+        else:
+            inputs = [v]
+        if has_aff[i]:
+            aff = consts[ci][0]
+            ci += 1
+        else:
+            aff = None
+        acc = None
+        for j, data in enumerate(inputs):
+            w = consts[ci][0]
+            ci += 1
+            if aff is not None:
+                C = Cis[i]
+                a = aff[:, j * C:(j + 1) * C] if n_in > 1 and i == 0 else aff
+                data = _mul_rows(jnp.maximum(data * a[0] + a[1], 0),
+                                 mask_rows(margin_in) if i else
+                                 mask_full)
+            acc = conv9(data, w, d, margin_in, margin_out, acc)
+        v = _mul_rows(acc, mask_rows(margin_out)).astype(
+            out_dtype if i == n - 1 else mask_full.dtype)
+    o_ref[0, 0:Cos[-1]] = v
+    o_ref[0, Cos[-1]:] = mask_rows(0).astype(o_ref.dtype)
+
+
+def chain_layer(x: jnp.ndarray, kernels, affines, *, dilations, S: int,
+                NR: int, groups: int = 1, block_rows: int = 96,
+                dh: int = 24, two_input: bool = False, out_dtype=None,
+                interpret: bool = False) -> jnp.ndarray:
+    """Run N dense dilated 3x3 conv layers as ONE Pallas kernel (the
+    "chain" rows variant): the input canvas is read once, the output canvas
+    written once, and every intermediate activation stays in VMEM. Halo
+    recompute grows each layer's computed rows by its remaining-chain
+    margin (`_chain_margins`); the MXU absorbs the extra dots.
+
+    x: (G*B, Ci0+1, NR*S) canvas. kernels[i]: ([G,]3,3,Ci,Co) HWIO — for
+    two_input, kernels[0] is over the channel-concat of the two halves
+    (2*Ci0 input channels, split internally as in `dense2_layer`).
+    affines[i]: ([G,]2,Ci) folded BN applied BEFORE layer i (None = no
+    activation, e.g. the entry and output convs). dilations[i]: per layer.
+    Requires m[0] <= 2*dh (asserted), R % (2*dh) == 0, NR % R == 0.
+    Returns ([G*]B, Co_last+1, NR*S).
+    """
+    n = len(dilations)
+    assert len(kernels) == n and len(affines) == n
+    m = _chain_margins(dilations)
+    R = block_rows
+    assert m[0] <= 2 * dh, (m, dh)
+    assert R % (2 * dh) == 0 and NR % R == 0 and NR % (2 * dh) == 0, \
+        (R, dh, NR)
+    dt = x.dtype
+    B2 = x.shape[0]
+    n_in = 2 if two_input else 1
+    if two_input:
+        assert B2 % 2 == 0 and groups == 1, (B2, groups)
+
+    kernels = [_with_group_axis(k, groups, 4) for k in kernels]
+    G = groups
+    Cis = [k.shape[3] // (2 if (two_input and i == 0) else 1)
+           for i, k in enumerate(kernels)]
+    Cos = [k.shape[4] for k in kernels]
+    Ci0 = Cis[0]
+    assert x.shape[1] == Ci0 + 1, (x.shape, Ci0)
+
+    def w9(k):  # ([G,]3,3,Ci,Co) -> (G, 9, Co, Ci)
+        return jnp.stack([
+            jnp.stack([k[g, dy, dx].T for dy in range(3) for dx in range(3)])
+            for g in range(G)]).astype(dt)
+
+    consts, has_aff = [], []
+    for i in range(n):
+        if affines[i] is not None:
+            a = _with_group_axis(affines[i], groups, 2)
+            consts.append(a.reshape(G, 2, a.shape[2], 1).astype(dt))
+            has_aff.append(True)
+        else:
+            has_aff.append(False)
+        if two_input and i == 0:
+            consts.append(w9(kernels[0][:, :, :, :Ci0]))
+            consts.append(w9(kernels[0][:, :, :, Ci0:]))
+        else:
+            consts.append(w9(kernels[i]))
+
+    out_dt = out_dtype or dt
+    B = B2 // n_in
+
+    def views(boff):
+        base = _views(Ci0 + 1, S, NR, R, dh)
+        if boff == 0:
+            return base
+        return [pl.BlockSpec(
+            bs.block_shape,
+            functools.partial(
+                lambda im, off, b, c: (b + off,) + tuple(im(b, c))[1:],
+                bs.index_map, boff),
+            memory_space=pltpu.VMEM) for bs in base]
+
+    per = B // G if G else B
+
+    def const_spec(c):
+        nd = c.ndim - 1
+        return pl.BlockSpec(
+            (1,) + c.shape[1:],
+            functools.partial(
+                lambda nd_, b, r: (b // per,) + (0,) * nd_, nd),
+            memory_space=pltpu.VMEM)
+
+    in_specs = sum([views(k * B) for k in range(n_in)], []) \
+        + [const_spec(c) for c in consts]
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, S=S, R=R, dh=dh,
+                          dils=tuple(dilations), n_in=n_in,
+                          Cis=tuple(Cis), Cos=tuple(Cos),
+                          has_aff=tuple(has_aff),
+                          precision=_precision(dt), out_dtype=out_dt),
+        grid=(B, NR // R),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Cos[-1] + 1, R * S), lambda b, c: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Cos[-1] + 1, NR * S), out_dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*([x] * (3 * n_in)), *consts)
+
+
 def dense_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
                 S: int, NR: int, affine: jnp.ndarray = None,
                 groups: int = 1, block_rows: int = 0,

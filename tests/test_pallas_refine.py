@@ -41,7 +41,8 @@ def _jittered_variables(model, left, right, rng):
 @pytest.fixture(scope="module",
                 params=["float32-layers", "float32-rows",
                         "bfloat16-layers", "bfloat16-rows",
-                        "float32-rows-mxu", "bfloat16-rows-mxu"])
+                        "float32-rows-mxu", "bfloat16-rows-mxu",
+                        "float32-rows-chain", "bfloat16-rows-chain"])
 def stage4_pair(request):
     """(xla_outputs, pallas_outputs) for one (dtype, kernel-mode) combo.
     The -mxu variants run the rows pipeline with every dw-sep layer as a
