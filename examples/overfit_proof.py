@@ -186,16 +186,14 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
         t.train_step = spy
 
-    # Phase A: batch-mode BN with per-epoch precise-BN, annealed x0.25 at
-    # 1/2 and 3/4 (the un-annealed 1.5e-3 run's calibrated best lands by
-    # epoch ~5 and then co-adaptation drifts the eval UP — measured r5:
-    # best 3.48 at epoch 5, 5.8-7.9 at epochs 12-15; the anneal lets the
-    # later epochs keep descending in calibrated terms instead).
+    # Phase A: batch-mode BN with per-epoch precise-BN at constant lr.
+    # Its calibrated best lands by epoch ~5 and co-adaptation then drifts
+    # the eval UP (measured r5: best 3.48 at epoch 5, then 5.8-7.9; an
+    # annealed variant did no better — 12.7 by epoch 16), so phase A is
+    # short and best-only selection does the rest.
     dir_a = os.path.join(workdir, f"ckpt_{name}_a")
     trainer = make_trainer("batch", args.lr, args.epochs, args.dtype,
-                           args.batch, dir_a,
-                           milestones=(args.epochs // 2,
-                                       (3 * args.epochs) // 4))
+                           args.batch, dir_a)
     trainer.init_state()
     epe0 = trainer.evaluate()  # random-init EPE for contrast
     spy_on(trainer)
@@ -204,40 +202,51 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     phase_a_best = trainer.best_error
     best, best_dir = phase_a_best, dir_a
 
-    # Phase B: frozen-BN tail as ANNEAL-WITH-ROLLBACK segments. The single
-    # 60-epoch MultiStep tail was measured r5 to destroy the phase-A
-    # solution before its first milestone: resume() re-armed phase A's
-    # Adam moments (built at lr 1.5e-3 batch 8) so the first frozen epoch
-    # jolted 3.48 -> 10.2 px, and 16 epochs at a constant 3e-4 random-
-    # walked the saturated early stages to ~60 px, after which the anneal
-    # locked in a 9 px state. Each segment here instead (a) starts from
-    # the BEST checkpoint seen so far (params + calibrated BN statistics,
-    # rollback discards any previous segment's bounce), (b) gets a FRESH
-    # optimizer (load_pretrained, no stale moments), and (c) runs at a
-    # x0.25-decayed lr. Best-checkpoint selection turns a hot segment's
-    # oscillation into pure exploration — its deepest point is what the
-    # next segment inherits — and the last, coldest segment pins
-    # final ~= best (the drift bar).
-    seg_scales = [args.tail_lr_scale * 0.25 ** k for k in range(3)]
-    seg_epochs = max(1, args.tail_epochs // len(seg_scales))
-    seg_bests = []
+    # Phase B: frozen-BN tail as ADAPTIVE ROLLBACK-ANNEAL segments.
+    # Measured r5, twice: a long constant-lr frozen tail destroys the
+    # solution — at 3e-4 the early stages' soft-argmin saturates within
+    # ~5 epochs (their train loss pins at a constant while Adam random-
+    # walks them to 40-70 px), and a *scheduled* decay then locks in
+    # whatever wreck exists at the milestone. Short segments instead:
+    # each segment (a) starts from the BEST checkpoint seen so far
+    # (params + calibrated BN statistics — rollback discards any bounce),
+    # (b) gets a FRESH optimizer (load_pretrained, no stale moments: the
+    # r5 resume()-based tail re-armed phase A's batch-8/1.5e-3 Adam
+    # moments and jolted 3.48 -> 10.2 px in one epoch), and (c) keeps the
+    # lr while segments keep improving, halving it only when one fails —
+    # trust-region-style: hot segments are pure exploration whose deepest
+    # point is what the next segment inherits. The last segment runs at a
+    # quarter of the surviving lr to pin final ~= best (the drift bar).
+    # (Distinct lr values compile distinct f32-highest step programs; the
+    # halving ladder revisits the same values across segments and regimes,
+    # so the persistent compile cache absorbs them.)
+    seg_len = max(1, args.tail_seg_epochs)
+    n_segs = max(1, args.tail_epochs // seg_len)
+    lr_scale = args.tail_lr_scale
+    seg_bests, seg_lrs = [], []
     final_epe = float("inf")
-    for k, scale in enumerate(seg_scales):
+    for k in range(n_segs):
+        pin = k == n_segs - 1
+        scale = lr_scale / 4 if pin else lr_scale
         dir_k = os.path.join(workdir, f"ckpt_{name}_b{k}")
-        tb = make_trainer("frozen", args.lr * scale, seg_epochs,
+        tb = make_trainer("frozen", args.lr * scale, seg_len,
                           args.tail_dtype, args.tail_batch, dir_k)
         tb.init_state()
         assert tb.load_pretrained(best_dir), f"no checkpoint in {best_dir}"
         tb.best_error = math.inf  # qualify under THIS segment's frozen eval
         spy_on(tb)
-        final_epe = tb.fit(seg_epochs)
+        final_epe = tb.fit(seg_len)
         seg_bests.append(tb.best_error)
-        if tb.best_error < best or k == 0:
+        seg_lrs.append(args.lr * scale)
+        improved = tb.best_error < best
+        if improved or k == 0:
             # k == 0: always leave phase A's batch-BN-selected checkpoint
             # behind once a frozen-eval-selected one exists — the two
             # selection metrics are not comparable (measured r5: a 3.48
-            # batch-calibrated best reads 4-10 px under frozen eval).
+            # batch-calibrated best reads 4-14 px under frozen eval).
             best, best_dir = tb.best_error, dir_k
+        if not improved:
+            lr_scale *= 0.5
     phase_b_best = min(seg_bests)
     wall = time.time() - t0
 
@@ -253,6 +262,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         "tail_epochs": args.tail_epochs,
         "phase_a_best_epe_px": num(phase_a_best),
         "tail_segment_bests_epe_px": [num(x) for x in seg_bests],
+        "tail_segment_lrs": [round(x, 8) for x in seg_lrs],
         "steps": len(losses),
         "nonfinite_steps_skipped": skipped,
         "initial_epe_px": num(epe0),
@@ -271,13 +281,16 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # Phase A anneals x0.25 at 1/2 and 3/4: un-annealed, the calibrated
-    # best lands EARLY (epoch ~5-8 in every measured run; longer constant-
-    # lr batch-mode training only deepens stat co-adaptation).
-    p.add_argument("--epochs", type=int, default=20)
+    # Phase A is short: its calibrated best lands EARLY (epoch ~5 in every
+    # measured run — constant lr OR annealed; longer batch-mode training
+    # only deepens stat co-adaptation, measured r5: eval 3.48 at epoch 5,
+    # 12.7 by epoch 16 even with a x0.25 anneal at 10).
+    p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--tail-epochs", type=int, default=60,
-                   help="total frozen-tail epochs, split over 3 "
-                        "anneal-with-rollback segments (see run_regime)")
+                   help="total frozen-tail epochs, split into adaptive "
+                        "rollback segments (see run_regime)")
+    p.add_argument("--tail-seg-epochs", type=int, default=5,
+                   help="epochs per rollback segment")
     p.add_argument("--tail-dtype", type=str, default="float32",
                    help="phase-B compute dtype (see run_regime: f32 makes "
                         "the tail's descent provably transfer to the eval)")
@@ -375,14 +388,17 @@ def main() -> None:
         "pairs": args.pairs,
         "batch": args.batch,
         "recipe": (f"phase A: batch-mode BN + per-epoch precise-BN, "
-                   f"{args.dtype}, batch {args.batch}, lr {args.lr:g} "
-                   f"annealed x0.25 at 1/2 and 3/4, {args.epochs} epochs; "
-                   f"phase B: frozen-BN anneal-with-rollback — 3 segments "
-                   f"of {max(1, args.tail_epochs // 3)} epochs, each from "
+                   f"{args.dtype}, batch {args.batch}, lr {args.lr:g}, "
+                   f"{args.epochs} epochs, best-only selection; phase B: "
+                   f"frozen-BN adaptive rollback-anneal — "
+                   f"{max(1, args.tail_epochs // args.tail_seg_epochs)} "
+                   f"segments of {args.tail_seg_epochs} epochs, each from "
                    f"the best checkpoint so far with a FRESH optimizer, "
-                   f"{args.tail_dtype}, batch {args.tail_batch}, lrs "
-                   f"{args.lr * args.tail_lr_scale:g}/x0.25/x0.0625 "
-                   f"(see run_regime comments)"),
+                   f"{args.tail_dtype}, batch {args.tail_batch}, lr "
+                   f"starting at {args.lr * args.tail_lr_scale:g} and "
+                   f"halving after a non-improving segment; final segment "
+                   f"at a quarter of the surviving lr (see run_regime "
+                   f"comments)"),
         "runs": runs,
     }
     with open(args.out, "w") as f:
