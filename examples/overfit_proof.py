@@ -148,7 +148,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     #   every program agree with CPU-f32, so descent provably transfers.
 
     def make_trainer(bn_mode, lr, epochs, dtype, batch, save_dir,
-                     milestones=()):
+                     milestones=(), warmup=0):
         # Eval batches cover the corpus in as few dispatches as possible:
         # identical math (the metric sums are validity-weighted), and
         # tunnel dispatches are what this run's wall-clock is made of.
@@ -157,6 +157,7 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
                            train_batch_size=batch,
                            eval_batch_size=eval_batch,
                            lr_milestones=milestones, lr_gamma=0.25,
+                           warmup_steps=warmup,
                            bn_mode=bn_mode,
                            bn_reestimate_batches=(
                                0 if bn_mode == "frozen"
@@ -229,8 +230,13 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         pin = k == n_segs - 1
         scale = lr_scale / 4 if pin else lr_scale
         dir_k = os.path.join(workdir, f"ckpt_{name}_b{k}")
+        # One-epoch linear warmup per segment: the fresh optimizer's
+        # bias-corrected first updates otherwise shove every parameter by
+        # ~lr at once (measured r5: 3.3 -> 25 px in the segment's FIRST
+        # epoch, at lr as low as 1.5e-4).
         tb = make_trainer("frozen", args.lr * scale, seg_len,
-                          args.tail_dtype, args.tail_batch, dir_k)
+                          args.tail_dtype, args.tail_batch, dir_k,
+                          warmup=args.pairs // args.tail_batch)
         tb.init_state()
         assert tb.load_pretrained(best_dir), f"no checkpoint in {best_dir}"
         tb.best_error = math.inf  # qualify under THIS segment's frozen eval

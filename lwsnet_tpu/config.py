@@ -108,6 +108,12 @@ class TrainConfig:
     # epoch-200 decay ever fires; kept as published.
     lr_milestones: Tuple[int, ...] = ()
     lr_gamma: float = 0.1
+    # Linear lr warmup over this many steps (0 = off, the reference's
+    # behavior). Essential when a FRESH optimizer resumes already-trained
+    # params: Adam's bias-corrected first updates are ~lr*sign(g) per
+    # param, a coordinated perturbation that measurably destroys a
+    # converged state (see make_lr_schedule).
+    warmup_steps: int = 0
     # Loss mask: pretrain masks gt < max_disp, finetune masks gt > 0
     # (reference: train.py:137 vs finetune.py:153).
     mask_min_disp: float = -jnp.inf

@@ -37,13 +37,24 @@ class TrainState(struct.PyTreeNode):
 def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     """Piecewise-constant LR: lr * gamma^(#milestones passed), stepped at
     epoch boundaries (reference: finetune.py:82-84). Pretrain has no
-    milestones -> constant lr (reference: train.py:80)."""
+    milestones -> constant lr (reference: train.py:80). An optional linear
+    warmup over `cfg.warmup_steps` ramps 0 -> lr first: with a FRESH Adam
+    on already-trained parameters, the bias-corrected first updates are
+    ~lr * sign(g) on EVERY parameter at once — measured r5 to knock an
+    overfit-proof checkpoint from 3.3 to 25 px in one epoch; a one-epoch
+    ramp lets the moment estimates calibrate before full-size steps."""
     if not cfg.lr_milestones:
-        return optax.constant_schedule(cfg.lr)
-    boundaries = {
-        int(m) * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
-    }
-    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+        base = optax.constant_schedule(cfg.lr)
+    else:
+        boundaries = {
+            int(m) * steps_per_epoch: cfg.lr_gamma
+            for m in cfg.lr_milestones
+        }
+        base = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    if cfg.warmup_steps <= 0:
+        return base
+    warm = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return optax.join_schedules([warm, base], [cfg.warmup_steps])
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:

@@ -107,6 +107,24 @@ def test_lr_schedule_milestones():
     np.testing.assert_allclose(float(sched2(10 ** 6)), 5e-4, rtol=1e-6)
 
 
+def test_lr_schedule_warmup():
+    """Linear 0 -> lr ramp over warmup_steps, then the base schedule
+    (new capability beyond the reference — see make_lr_schedule docstring
+    for the fresh-Adam-on-trained-params failure it prevents)."""
+    tcfg = TrainConfig(lr=4e-4, warmup_steps=16)
+    sched = make_lr_schedule(tcfg, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(sched(8)), 2e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(16)), 4e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1000)), 4e-4, rtol=1e-6)
+    # warmup composes with milestones (decay boundaries shift past it)
+    tcfg2 = TrainConfig(lr=4e-4, warmup_steps=16, lr_milestones=(5,),
+                        lr_gamma=0.5)
+    sched2 = make_lr_schedule(tcfg2, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched2(16)), 4e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched2(80)), 2e-4, rtol=1e-6)
+
+
 def test_nonfinite_step_applies_no_update(setup):
     """A NaN batch must leave params, optimizer state, AND batch-norm running
     stats untouched (one poisoned BN stat corrupts every later eval)."""
