@@ -159,9 +159,17 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
                            lr_milestones=milestones, lr_gamma=0.25,
                            warmup_steps=warmup,
                            bn_mode=bn_mode,
-                           bn_reestimate_batches=(
-                               0 if bn_mode == "frozen"
-                               else args.pairs // batch),
+                           # Per-epoch precise-BN in EVERY phase. In the
+                           # frozen segments this is the stabilizer: stats
+                           # frozen at the previous best stop matching the
+                           # activation distributions as params move, the
+                           # off-scale normalized values saturate the
+                           # soft-argmin stages, and the segment detonates
+                           # (measured r5 at every tail lr >= 1.5e-4).
+                           # Refreshing stats each epoch keeps the frozen
+                           # train objective calibrated to its own params
+                           # (alternating minimization).
+                           bn_reestimate_batches=args.pairs // batch,
                            save_path=save_dir,
                            log_every=10, **mask_kwargs)
         train_pipe = StereoPipeline(index, batch, training=True,
@@ -213,11 +221,13 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
     # (params + calibrated BN statistics — rollback discards any bounce),
     # (b) gets a FRESH optimizer (load_pretrained, no stale moments: the
     # r5 resume()-based tail re-armed phase A's batch-8/1.5e-3 Adam
-    # moments and jolted 3.48 -> 10.2 px in one epoch), and (c) keeps the
-    # lr while segments keep improving, halving it only when one fails —
-    # trust-region-style: hot segments are pure exploration whose deepest
-    # point is what the next segment inherits. The last segment runs at a
-    # quarter of the surviving lr to pin final ~= best (the drift bar).
+    # moments and jolted 3.48 -> 10.2 px in one epoch) with a one-epoch
+    # warmup, and (c) rides a cold-start both-ways-adaptive lr ladder —
+    # double after an improving segment, halve after a dud, capped at
+    # --tail-lr-scale-max. Trust-region-style: an over-hot segment is pure
+    # exploration whose deepest point is what the next segment inherits.
+    # The last segment runs at a quarter of the surviving lr to pin
+    # final ~= best (the drift bar).
     # (Distinct lr values compile distinct f32-highest step programs; the
     # halving ladder revisits the same values across segments and regimes,
     # so the persistent compile cache absorbs them.)
@@ -244,14 +254,15 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
         final_epe = tb.fit(seg_len)
         seg_bests.append(tb.best_error)
         seg_lrs.append(args.lr * scale)
-        improved = tb.best_error < best
-        if improved or k == 0:
-            # k == 0: always leave phase A's batch-BN-selected checkpoint
-            # behind once a frozen-eval-selected one exists — the two
-            # selection metrics are not comparable (measured r5: a 3.48
-            # batch-calibrated best reads 4-14 px under frozen eval).
+        # Both-ways-adaptive ladder, cold start: double the lr after an
+        # improving segment (rollback makes over-reach cheap — 5 epochs),
+        # halve after a dud. Phase-A and segment bests are directly
+        # comparable: every eval here is the running-stats eval program
+        # after a precise-BN pass.
+        if tb.best_error < best:
             best, best_dir = tb.best_error, dir_k
-        if not improved:
+            lr_scale = min(lr_scale * 2, args.tail_lr_scale_max)
+        else:
             lr_scale *= 0.5
     phase_b_best = min(seg_bests)
     wall = time.time() - t0
@@ -317,9 +328,13 @@ def main() -> None:
     # 16 GB HBM.)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=1.5e-3)
-    p.add_argument("--tail-lr-scale", type=float, default=0.2,
+    p.add_argument("--tail-lr-scale", type=float, default=0.05,
                    help="first frozen segment's lr as a fraction of --lr; "
-                        "later segments decay x0.25 each")
+                        "the ladder doubles it after improving segments "
+                        "and halves it after duds")
+    p.add_argument("--tail-lr-scale-max", type=float, default=0.2,
+                   help="ladder ceiling (3e-4 at the default --lr was "
+                        "measured destructive even from healthy states)")
     # float32 + matmul-precision=highest: the proof's numerics must be
     # self-consistent across programs. On TPU, "f32" convs default to
     # single-pass BF16 MXU math, and at half-converged states (near-flat
@@ -401,10 +416,12 @@ def main() -> None:
                    f"segments of {args.tail_seg_epochs} epochs, each from "
                    f"the best checkpoint so far with a FRESH optimizer, "
                    f"{args.tail_dtype}, batch {args.tail_batch}, lr "
-                   f"starting at {args.lr * args.tail_lr_scale:g} and "
-                   f"halving after a non-improving segment; final segment "
-                   f"at a quarter of the surviving lr (see run_regime "
-                   f"comments)"),
+                   f"starting at {args.lr * args.tail_lr_scale:g}, doubled "
+                   f"after improving segments (cap "
+                   f"{args.lr * args.tail_lr_scale_max:g}), halved after "
+                   f"duds; per-epoch precise-BN recalibration in every "
+                   f"phase; final segment at a quarter of the surviving "
+                   f"lr (see run_regime comments)"),
         "runs": runs,
     }
     with open(args.out, "w") as f:
