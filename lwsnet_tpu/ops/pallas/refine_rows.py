@@ -574,7 +574,7 @@ def _chain_kernel(*refs, S, R, dh, dils, n_in, Cis, Cos, has_aff,
 
 
 def chain_layer(x: jnp.ndarray, kernels, affines, *, dilations, S: int,
-                NR: int, groups: int = 1, block_rows: int = 96,
+                NR: int, groups: int = 1, block_rows: int = 48,
                 dh: int = 24, two_input: bool = False, out_dtype=None,
                 interpret: bool = False) -> jnp.ndarray:
     """Run N dense dilated 3x3 conv layers as ONE Pallas kernel (the
