@@ -159,27 +159,42 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
                            lr_milestones=milestones, lr_gamma=0.25,
                            warmup_steps=warmup,
                            bn_mode=bn_mode,
-                           # Per-epoch precise-BN in EVERY phase. In the
-                           # frozen segments this is the stabilizer: stats
-                           # frozen at the previous best stop matching the
-                           # activation distributions as params move, the
-                           # off-scale normalized values saturate the
-                           # soft-argmin stages, and the segment detonates
-                           # (measured r5 at every tail lr >= 1.5e-4).
-                           # Refreshing stats each epoch keeps the frozen
-                           # train objective calibrated to its own params
-                           # (alternating minimization).
-                           bn_reestimate_batches=args.pairs // batch,
+                           # Per-epoch precise-BN in EVERY phase, and with
+                           # ONE FIXED PROTOCOL: stat batches of size
+                           # args.batch (8) via an explicit stat_pipe,
+                           # regardless of the phase's train batch.
+                           # Batch-mode stat estimation is a cascade (each
+                           # layer's batch stats normalize what deeper
+                           # layers see), so the resulting function depends
+                           # on the stat batch SIZE — measured r5: phase
+                           # A's 3.48 px best read 15+ px after a batch-4
+                           # recalibration, with the params untouched. In
+                           # the frozen segments the per-epoch refresh also
+                           # keeps the train objective calibrated to its
+                           # own params (alternating minimization).
+                           bn_reestimate_batches=args.pairs // args.batch,
+                           # Exact precise-BN: SET stats to the moment
+                           # average (idempotent, a pure function of the
+                           # params + the fixed stat batching below) —
+                           # the EWMA pass left a 43%-old mixture whose
+                           # lottery moved evals by 3+ px (see
+                           # Trainer.reestimate_bn).
+                           bn_reestimate_exact=True,
                            save_path=save_dir,
                            log_every=10, **mask_kwargs)
         train_pipe = StereoPipeline(index, batch, training=True,
                                     crop=(H, W), kitti=True, num_workers=4)
         eval_pipe = StereoPipeline(index, eval_batch, training=False,
                                    crop=(H, W), kitti=True, num_workers=4)
+        # training=False: fixed order and deterministic (identity) crops,
+        # so the exact-mode stats are a pure function of the params.
+        stat_pipe = StereoPipeline(index, args.batch, training=False,
+                                   crop=(H, W), kitti=True, num_workers=4)
         return Trainer(
             TrainerConfig(model=ModelConfig(compute_dtype=dtype),
                           train=tcfg, eval_metric="epe"),
-            train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"))
+            train_pipe, eval_pipe, logging.getLogger(f"overfit.{name}"),
+            stat_pipe=stat_pipe)
 
     losses, skipped = [], []
 

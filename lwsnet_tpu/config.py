@@ -114,6 +114,12 @@ class TrainConfig:
     # param, a coordinated perturbation that measurably destroys a
     # converged state (see make_lr_schedule).
     warmup_steps: int = 0
+    # Precise-BN mode for Trainer.reestimate_bn. False = EWMA stat steps
+    # (reference-flavored; the result depends on the prior stats and batch
+    # order). True = SET the stats to the exact moment average over the
+    # batches — a deterministic, idempotent function of the params; see
+    # the reestimate_bn docstring for the measured failure this fixes.
+    bn_reestimate_exact: bool = False
     # Loss mask: pretrain masks gt < max_disp, finetune masks gt > 0
     # (reference: train.py:137 vs finetune.py:153).
     mask_min_disp: float = -jnp.inf

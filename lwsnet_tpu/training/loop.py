@@ -39,10 +39,21 @@ class TrainerConfig:
 class Trainer:
     def __init__(self, tcfg: TrainerConfig, train_pipe: StereoPipeline,
                  eval_pipe: StereoPipeline, logger,
-                 mesh_cfg: MeshConfig = MeshConfig()):
+                 mesh_cfg: MeshConfig = MeshConfig(),
+                 stat_pipe: Optional[StereoPipeline] = None):
         self.tcfg = tcfg
         self.train_pipe = train_pipe
         self.eval_pipe = eval_pipe
+        # Precise-BN statistics pipeline; defaults to train_pipe. Batch-mode
+        # statistics estimation is a CASCADE (each layer's batch stats
+        # normalize what the next layer sees), so the resulting running
+        # stats depend on the stat batch SIZE — restoring a checkpoint into
+        # a trainer whose precise-BN runs at a different batch size yields
+        # a measurably different function (r5: a 3.48 px state read 15+ px
+        # after batch-4 recalibration of batch-8-calibrated stats). Pass an
+        # explicit stat_pipe to keep the protocol fixed when the train
+        # batch changes between phases.
+        self.stat_pipe = stat_pipe or train_pipe
         self.log = logger
         self.model = LWSNet(tcfg.model)
         self.mesh = mesh_lib.make_mesh(mesh_cfg)
@@ -140,21 +151,72 @@ class Trainer:
     def reestimate_bn(self, epoch: int) -> None:
         """Precise-BN pass (cfg.bn_reestimate_batches > 0): refresh the BN
         running statistics with forward-only passes over training batches so
-        validation sees statistics that match the current params."""
+        validation sees statistics that match the current params.
+
+        With cfg.bn_reestimate_exact the pass SETS the statistics to the
+        moment average over the batches (variance aggregated with the
+        between-batch mean correction) instead of EWMA-chasing them. The
+        flax update is ra' = m*ra + (1-m)*bs, so one step from unchanged
+        stats recovers each batch's true bs = (ra' - m*ra)/(1-m) exactly;
+        the result is a deterministic function of the params — measured r5:
+        the EWMA pass (momentum 0.9, 8 steps leaves 43% of the old mixture)
+        moved a checkpoint's eval from 4.7 to 7.6 px with params untouched,
+        because this architecture's eval is hyper-sensitive to the stat
+        mixture. Exact mode makes recalibration idempotent, so best-
+        checkpoint selection and cross-phase restores compare one function
+        per params."""
         n = self.tcfg.train.bn_reestimate_batches
         if not n:
             return
+        if not self.tcfg.train.bn_reestimate_exact:
+            done = 0
+            while done < n:  # reshuffled epochs until n batches consumed
+                for batch in self.stat_pipe.epoch(1_000_000 + epoch + done):
+                    sharded = mesh_lib.shard_batch(
+                        self.mesh, {"l": batch.left, "r": batch.right},
+                        self.mesh_cfg)
+                    self.state = self.stat_step(
+                        self.state, sharded["l"], sharded["r"])
+                    done += 1
+                    if done >= n:
+                        break
+            return
+
+        m = 0.9  # nn.BatchNorm momentum (lwsnet_tpu/models/blocks.py)
+        s0 = self.state.batch_stats
+        flat0, treedef = jax.tree_util.tree_flatten_with_path(s0)
+        sums = [None] * len(flat0)  # per-leaf running sums of batch stats
         done = 0
-        while done < n:  # reshuffled epochs until n batches consumed
-            for batch in self.train_pipe.epoch(1_000_000 + epoch + done):
+        while done < n:
+            for batch in self.stat_pipe.epoch(1_000_000 + epoch + done):
                 sharded = mesh_lib.shard_batch(
                     self.mesh, {"l": batch.left, "r": batch.right},
                     self.mesh_cfg)
-                self.state = self.stat_step(
-                    self.state, sharded["l"], sharded["r"])
+                # stat_step from the UNCHANGED s0 each time; recover bs.
+                st = self.stat_step(self.state, sharded["l"], sharded["r"])
+                flat1 = jax.tree_util.tree_leaves(st.batch_stats)
+                for i, ((_, a0), a1) in enumerate(zip(flat0, flat1)):
+                    bs = (a1 - m * a0) / (1.0 - m)
+                    acc = sums[i]
+                    sums[i] = [bs, bs * bs] if acc is None else \
+                        [acc[0] + bs, acc[1] + bs * bs]
                 done += 1
                 if done >= n:
                     break
+        paths = [p for p, _ in flat0]
+        new_leaves = []
+        for (path, _), acc in zip(flat0, sums):
+            if path[-1].key == "var":
+                # corpus var = E_j[var_j] + Var_j(mean_j) (between-batch
+                # mean spread, from the sibling "mean" leaf's moments)
+                mean_path = path[:-1] + (jax.tree_util.DictKey("mean"),)
+                idx = paths.index(mean_path)
+                m1, m2 = sums[idx][0] / done, sums[idx][1] / done
+                new_leaves.append(acc[0] / done + (m2 - m1 * m1))
+            else:
+                new_leaves.append(acc[0] / done)
+        self.state = self.state.replace(
+            batch_stats=jax.tree_util.tree_unflatten(treedef, new_leaves))
 
     def evaluate(self) -> float:
         """Run validation; returns the stage-(last) headline metric."""
