@@ -139,3 +139,49 @@ def test_orbax_backend_trainer_roundtrip(corpus, tmp_path, monkeypatch):
     assert trainer2.best_error == trainer.best_error
     restored = np.asarray(jax.tree.leaves(trainer2.state.params)[0])
     assert not np.array_equal(fresh, restored)
+
+
+def test_exact_precise_bn_idempotent_and_stat_independent(corpus, tmp_path):
+    """bn_reestimate_exact SETS the running statistics to the batch-moment
+    average: applying it twice is a no-op, and two trainers starting from
+    DIFFERENT running stats land on identical stats (a pure function of
+    the params). The EWMA mode guarantees neither (momentum 0.9 leaves a
+    43% mixture of whatever was there before)."""
+    import jax
+    import jax.numpy as jnp
+
+    def exact_trainer():
+        mcfg = ModelConfig(compute_dtype="float32")
+        tcfg = TrainConfig(
+            lr=1e-3, epochs=1, train_batch_size=8, eval_batch_size=8,
+            mask_min_disp=0.0, bn_reestimate_batches=2,
+            bn_reestimate_exact=True,
+            save_path=str(tmp_path / "exact"), log_every=1)
+        train_pipe = StereoPipeline(corpus, 8, training=False, crop=CROP,
+                                    kitti=True, num_workers=2)
+        eval_pipe = StereoPipeline(corpus, 8, training=False, crop=CROP,
+                                   kitti=True, num_workers=2)
+        return Trainer(
+            TrainerConfig(model=mcfg, train=tcfg, eval_metric="epe"),
+            train_pipe, eval_pipe, logging.getLogger("test_trainer"))
+
+    t1 = exact_trainer()
+    t1.init_state()
+    t1.reestimate_bn(0)
+    stats1 = jax.tree_util.tree_leaves(t1.state.batch_stats)
+    t1.reestimate_bn(5)  # different epoch arg must not matter
+    stats1b = jax.tree_util.tree_leaves(t1.state.batch_stats)
+    for a, b in zip(stats1, stats1b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    t2 = exact_trainer()
+    t2.init_state()
+    # scramble t2's running stats; exact recalib must erase the difference
+    t2.state = t2.state.replace(batch_stats=jax.tree_util.tree_map(
+        lambda x: x + jnp.full_like(x, 0.37), t2.state.batch_stats))
+    t2.reestimate_bn(0)
+    stats2 = jax.tree_util.tree_leaves(t2.state.batch_stats)
+    for a, b in zip(stats1, stats2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
