@@ -159,26 +159,25 @@ def run_regime(name: str, index, args, mask_kwargs: dict,
                            lr_milestones=milestones, lr_gamma=0.25,
                            warmup_steps=warmup,
                            bn_mode=bn_mode,
-                           # Per-epoch precise-BN in EVERY phase, and with
-                           # ONE FIXED PROTOCOL: stat batches of size
-                           # args.batch (8) via an explicit stat_pipe,
-                           # regardless of the phase's train batch.
-                           # Batch-mode stat estimation is a cascade (each
-                           # layer's batch stats normalize what deeper
-                           # layers see), so the resulting function depends
-                           # on the stat batch SIZE — measured r5: phase
-                           # A's 3.48 px best read 15+ px after a batch-4
-                           # recalibration, with the params untouched. In
-                           # the frozen segments the per-epoch refresh also
-                           # keeps the train objective calibrated to its
-                           # own params (alternating minimization).
-                           bn_reestimate_batches=args.pairs // args.batch,
-                           # Exact precise-BN: SET stats to the moment
-                           # average (idempotent, a pure function of the
-                           # params + the fixed stat batching below) —
-                           # the EWMA pass left a 43%-old mixture whose
-                           # lottery moved evals by 3+ px (see
-                           # Trainer.reestimate_bn).
+                           # Phase A: per-epoch EXACT precise-BN (SET the
+                           # stats to the batch-moment average — an
+                           # idempotent, deterministic function of the
+                           # params; the EWMA pass left a 43%-old mixture
+                           # whose lottery moved evals 3+ px on identical
+                           # params). Frozen tail: NO recalibration at
+                           # all. Measured r5: on a 64-pair corpus the
+                           # per-batch statistics are a memorization side
+                           # channel, so the params<->stats alternating
+                           # iteration REPELS — each epoch's train loss
+                           # descends under the epoch's stats while the
+                           # recalibrated eval ascends (15.9 -> 5.5 loss
+                           # vs 13.5 -> 20.5 eval in four epochs). With
+                           # stats PINNED at the handoff, the tail's loss
+                           # and eval measure the same deterministic
+                           # function and descent transfers coherently.
+                           bn_reestimate_batches=(
+                               args.pairs // args.batch
+                               if bn_mode == "batch" else 0),
                            bn_reestimate_exact=True,
                            save_path=save_dir,
                            log_every=10, **mask_kwargs)
