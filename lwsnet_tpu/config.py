@@ -52,14 +52,16 @@ class ModelConfig:
     # at TRACE time (for A/B scripts only — a jit-cached forward ignores
     # later env changes; set the config field in library code).
     rows_paired: bool = True
-    # "rows" mode depthwise engine: "vpu" runs each dw-sep layer's 9
-    # depthwise taps as vector multiply-adds (the dw work is VPU-bound);
-    # "mxu" folds dw+pw into one rank-1-factored dense 3x3 kernel
-    # (k[dy,dx,ci,co] = dw[dy,dx,ci]*pw[co,ci] — exact) and runs every
-    # layer as an MXU matmul via dense_layer. Measured A/B lives in
-    # STAGE4_ANALYSIS.md. Env override LWSNET_ROWS_DW (trace-time, A/B
-    # scripts only).
-    rows_dw: str = "vpu"
+    # "rows" mode depthwise engine: "mxu" (default) folds dw+pw into one
+    # rank-1-factored dense 3x3 kernel (k[dy,dx,ci,co] =
+    # dw[dy,dx,ci]*pw[co,ci] — exact) and runs every layer as an MXU
+    # matmul via dense_layer; "vpu" runs the 9 depthwise taps as vector
+    # multiply-adds (paired per rows_paired); "chain" fuses whole
+    # tower/head stacks into single kernels. Measured r5 A/B at 368x1232
+    # (STAGE4_AB.json / STAGE4_ANALYSIS.md): mxu 3.10 ms, vpu unpaired
+    # 4.15, vpu paired 4.53, chain 7.21 (halo recompute dominates). Env
+    # override LWSNET_ROWS_DW (trace-time, A/B scripts only).
+    rows_dw: str = "mxu"
     # 3D cost-filter conv formulation: "auto" picks per stage ("folded" block-
     # banded 2D conv when D*C fits the 128-lane axis, else "kdbatch" 2D conv
     # with D folded into batch); "xla3d" is the naive 3-spatial-dim conv kept
