@@ -32,6 +32,17 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="PARITY_TPU.json")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--left_img", type=str, default="")
+    p.add_argument("--right_img", type=str, default="",
+                   help="explicit stereo pair (used at its native size, "
+                        "no crop). With a checkpoint trained on the "
+                        "synthetic proof corpus, pass one of ITS pairs: "
+                        "on out-of-distribution input the cost volumes "
+                        "are near-flat and the comparison re-enters the "
+                        "chaotic regime trained weights exist to avoid "
+                        "(r5: the golden pair reads 8-45% span deltas "
+                        "under overfit-proof weights, an in-distribution "
+                        "pair reads sub-percent).")
     p.add_argument("--ckpt", type=str, default="",
                    help="checkpoint directory to load params from (e.g. the "
                         "overfit-proof run). At RANDOM weights the cost "
@@ -67,10 +78,18 @@ def main() -> None:
         assert restored is not None, f"no checkpoint under {args.ckpt}"
         state = restored
         weights = args.ckpt
-    left = T.normalize(T.bottom_right_crop(
-        T.load_image(os.path.join(GOLDEN_DIR, "left_test.png")), 368, 1232))
-    right = T.normalize(T.bottom_right_crop(
-        T.load_image(os.path.join(GOLDEN_DIR, "right_test.png")), 368, 1232))
+    if args.left_img:
+        left = T.normalize(T.load_image(args.left_img))
+        right = T.normalize(T.load_image(args.right_img or args.left_img))
+        pair_desc = f"{args.left_img} (native size)"
+    else:
+        left = T.normalize(T.bottom_right_crop(
+            T.load_image(os.path.join(GOLDEN_DIR, "left_test.png")),
+            368, 1232))
+        right = T.normalize(T.bottom_right_crop(
+            T.load_image(os.path.join(GOLDEN_DIR, "right_test.png")),
+            368, 1232))
+        pair_desc = "golden pair, 368x1232 bottom-right crop"
     import jax.numpy as jnp
     l, r = jnp.asarray(left[None]), jnp.asarray(right[None])
 
@@ -119,7 +138,7 @@ def main() -> None:
     result = {
         "device": jax.devices()[0].device_kind,
         "backend": jax.default_backend(),
-        "input": "golden pair, 368x1232 bottom-right crop",
+        "input": pair_desc,
         "weights": weights,
         "compute_dtype": args.dtype,
         "pallas_mode": cfg.pallas_mode,

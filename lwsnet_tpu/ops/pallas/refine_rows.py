@@ -687,6 +687,12 @@ def dense_layer(x: jnp.ndarray, kernel: jnp.ndarray, *, dilation: int,
     d = dilation
     R = block_rows or _block_rows(d)
     dt = x.dtype
+    if dt == jnp.float32:
+        # f32 doubles the halo-view windows and the K-stacked temporaries;
+        # at R=32+ the scoped VMEM demand overflows the v5e at full eval
+        # width (measured r5: the 368x1232 mxu pipeline's entry kernel
+        # OOMs). Narrow blocks restore it — same fix as dense2_layer.
+        R = max(16, 2 * d)
     width = (R + 4 * d) * S  # window incl. the 2d-row halo views
     # (G, 3 dx, Co, 3 dy * Ci), dy-major rows to match the kernel's K-stack.
     w = jnp.stack([
