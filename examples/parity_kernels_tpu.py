@@ -141,9 +141,11 @@ def main() -> None:
             start = 0 if scale == 0 else -D + 1
             d0 = (Dn - 1) * rng.random((1, fh, fw, 1)).astype(np.float32)
             bins = np.arange(Dn, dtype=np.float32)
-            cost = np.abs(bins - d0) * 3.0 \
-                + 0.1 * rng.random((1, fh, fw, Dn)).astype(np.float32)
-            cost = jnp.asarray(-cost)  # softmax(-cost): peak = low cost
+            # A COST (low = best): soft_argmin applies softmax(-cost)
+            # itself, so the peak sits at d0 — sharply conditioned.
+            cost = jnp.asarray(
+                np.abs(bins - d0) * 3.0
+                + 0.1 * rng.random((1, fh, fw, Dn)).astype(np.float32))
             channels = base.channels_3d * base.growth_rate[scale]
             sub_p = p_[f"CostFilter3D_{scale}"]
             sub_s = s_[f"CostFilter3D_{scale}"]
